@@ -1,0 +1,172 @@
+"""StackGAN Stage-I / Stage-II generators and discriminators, NHWC.
+
+Layer-for-layer capability match with the reference architectures:
+
+* ``StageIGenerator``    — ``/root/reference/generator_1.py:5-40``:
+  [c_hat(128) ‖ z(100)] = 228 → 1x1 spatial → ConvT 228→192 (k4 s1 p0,
+  → 4x4) → 192→96 → 96→48 → 48→24 (each k4 s2 p1, BN+ReLU) →
+  ConvT 24→3 (k4 s2 p1) + tanh ⇒ 64x64x3.
+* ``StageIDiscriminator`` — ``/root/reference/discrminator_1.py:6-52``:
+  64px → Conv(3→64 k4s2p1)+LReLU(0.1) → DownBlocks 64→128→256→512 ⇒
+  4x4x512; text tem(512)→Dense→Nd(128) replicated 4x4, channel-concat
+  (640) → 1x1 conv → 128 → flatten → Dense(1) critic score.
+* ``StageIIGenerator``   — ``/root/reference/generator_2.py:42-105``:
+  64px fake → Conv(3→128)+LReLU → DownBlock(128→512) ⇒ 16x16x512;
+  c_hat2(128) replicated 16x16, concat ⇒ 640ch; 4 ResidualBlocks
+  (640↔320); UpBlocks 640→320→160→80 → ConvT(80→3)+tanh ⇒ 256x256x3.
+* ``StageIIDiscriminator`` — ``/root/reference/discriminator_2.py:5-54``:
+  256px → Conv(3→16)+LReLU → DownBlocks 16→32→64→128→256→512 ⇒ 4x4x512;
+  text path as Stage-I but 1x1 conv → 160 → Dense(160*16, 1).
+  (The reference's ``forward`` uses an undefined ``x`` instead of ``img``
+  at discriminator_2.py:28 — a crash bug we fix, as documented in
+  SURVEY.md §2.)
+
+All modules run NHWC with channel-last concats — on TPU the channel axis
+is the lane axis, so the text-feature concat + 1x1 conv fuse into a single
+MXU matmul per pixel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from imagegenerator_tpu.ops.layers import (
+    BatchNorm,
+    Conv2d,
+    ConvTranspose2d,
+    Dense,
+    DownBlock,
+    UpBlock,
+)
+
+Dtype = Any
+
+
+class StageIGenerator(nn.Module):
+    c_dim: int = 128
+    z_dim: int = 100
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        # x: (B, c_dim + z_dim) -> (B, 1, 1, C)
+        x = x[:, None, None, :]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = UpBlock(192, kernel_size=4, stride=1, padding=0, **kw)(x, train)
+        x = UpBlock(96, **kw)(x, train)
+        x = UpBlock(48, **kw)(x, train)
+        x = UpBlock(24, **kw)(x, train)
+        x = ConvTranspose2d(3, 4, 2, 1, **kw)(x)
+        return jnp.tanh(x)
+
+
+class _TextImageCriticHead(nn.Module):
+    """Shared critic head: compress text -> Nd, replicate over the 4x4
+    feature map, concat, 1x1 conv, flatten, scalar score."""
+
+    nd: int
+    resize_ch: int
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, tem):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        compressed = Dense(self.nd, **kw)(tem)  # (B, Nd)
+        h, w = feat.shape[1], feat.shape[2]
+        rep = jnp.broadcast_to(
+            compressed[:, None, None, :], (feat.shape[0], h, w, self.nd)
+        ).astype(feat.dtype)
+        x = jnp.concatenate([feat, rep], axis=-1)
+        x = Conv2d(self.resize_ch, 1, 1, 0, **kw)(x)
+        x = x.reshape(x.shape[0], -1)
+        return Dense(1, **kw)(x)
+
+
+class StageIDiscriminator(nn.Module):
+    tem_size: int = 512
+    nd: int = 128
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, tem, train: bool = True):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Conv2d(64, 4, 2, 1, **kw)(img)
+        x = jax.nn.leaky_relu(x, 0.1)
+        x = DownBlock(128, **kw)(x, train)
+        x = DownBlock(256, **kw)(x, train)
+        x = DownBlock(512, **kw)(x, train)  # (B, 4, 4, 512)
+        return _TextImageCriticHead(self.nd, 128, **kw)(x, tem)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3+BN -> ReLU -> conv3x3+BN -> ReLU -> conv3x3+BN -> +id -> ReLU
+    (reference ``generator_2.py:5-39``)."""
+
+    intermediate: int
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        in_ch = x.shape[-1]
+
+        def conv_bn(feat, h):
+            h = Conv2d(feat, 3, 1, 1, use_bias=False, **kw)(h)
+            return BatchNorm(param_dtype=self.param_dtype, dtype=self.dtype)(
+                h, use_running_average=not train
+            )
+
+        identity = x
+        x = jax.nn.relu(conv_bn(self.intermediate, x))
+        x = jax.nn.relu(conv_bn(self.intermediate, x))
+        x = conv_bn(in_ch, x)
+        return jax.nn.relu(x + identity)
+
+
+class StageIIGenerator(nn.Module):
+    num_residual: int = 4
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img_64, c_hat, train: bool = True):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Conv2d(128, 4, 2, 1, **kw)(img_64)
+        x = jax.nn.leaky_relu(x, 0.1)
+        x = DownBlock(512, **kw)(x, train)  # (B, 16, 16, 512)
+        rep = jnp.broadcast_to(
+            c_hat[:, None, None, :],
+            (x.shape[0], x.shape[1], x.shape[2], c_hat.shape[-1]),
+        ).astype(x.dtype)
+        x = jnp.concatenate([x, rep], axis=-1)  # (B, 16, 16, 640)
+        for _ in range(self.num_residual):
+            x = ResidualBlock(320, **kw)(x, train)
+        x = UpBlock(320, **kw)(x, train)
+        x = UpBlock(160, **kw)(x, train)
+        x = UpBlock(80, **kw)(x, train)
+        x = ConvTranspose2d(3, 4, 2, 1, **kw)(x)
+        return jnp.tanh(x)  # (B, 256, 256, 3)
+
+
+class StageIIDiscriminator(nn.Module):
+    tem_size: int = 512
+    nd: int = 128
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, tem, train: bool = True):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Conv2d(16, 4, 2, 1, **kw)(img)
+        x = jax.nn.leaky_relu(x, 0.1)
+        for feat in (32, 64, 128, 256, 512):
+            x = DownBlock(feat, **kw)(x, train)  # -> (B, 4, 4, 512)
+        return _TextImageCriticHead(self.nd, 160, **kw)(x, tem)

@@ -1,0 +1,41 @@
+"""Straight-through vector quantization (the VQGAN codebook lookup).
+
+JAX-native equivalent of ``vector_quantize`` in
+``/root/reference/v2_implementation/generate.py:42-50``: nearest-codebook
+lookup in the forward pass, identity ("straight-through") gradient to the
+continuous latent in the backward pass.
+
+TPU notes: the pairwise-distance argmin is computed via one big
+``x @ codebook.T`` matmul (MXU) plus row/column norms (VPU) — the
+``one_hot @ codebook`` gather in the reference is replaced by
+``jnp.take`` which XLA lowers to an efficient dynamic-gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imagegenerator_tpu.ops.grad_utils import replace_grad
+
+
+def nearest_codebook_indices(x: jax.Array, codebook: jax.Array) -> jax.Array:
+    """argmin_j ||x_i - c_j||^2 over the last axis of ``x``.
+
+    x: (..., d), codebook: (n, d) -> indices (...,) int32.
+    """
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # (..., 1)
+    c2 = jnp.sum(jnp.square(codebook), axis=-1)  # (n,)
+    xc = jnp.einsum(
+        "...d,nd->...n", x, codebook, preferred_element_type=jnp.float32
+    )
+    d = x2 + c2 - 2.0 * xc
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def vector_quantize(x: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Straight-through quantization: value = nearest codebook entry,
+    gradient = identity w.r.t. ``x``. Layout: channel-last (..., d)."""
+    indices = nearest_codebook_indices(x, codebook)
+    x_q = jnp.take(codebook, indices, axis=0).astype(x.dtype)
+    return replace_grad(x_q, x)

@@ -1,0 +1,184 @@
+"""Compact flax BERT encoder — the text-encoder role of the v1 pipeline.
+
+The reference fine-tunes HF ``SpanBERT/spanbert-base-cased`` inside the GAN
+step and takes the CLS hidden state (``/root/reference/train.py:68``,
+``stage_1_train_fn.py:117-119``). SpanBERT is architecturally BERT-base
+(cased vocab 28996, 12L/768H/12 heads), so we provide:
+
+* ``BertConfig`` / ``BertEncoder`` — a from-scratch flax implementation
+  whose attention/FFN matmuls are shaped for the MXU (768/3072 divide 128
+  after padding; seq len 128 = one lane tile).
+* ``convert_hf_bert_params`` — maps an HF *torch* ``state_dict`` (local
+  file; this environment has no network egress) onto our param tree, so
+  real SpanBERT weights slot in when available. Tests and smoke configs
+  use small randomly-initialized configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 28996
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dropout_rate: float = 0.1
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128) -> "BertConfig":
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=16,
+            num_layers=1,
+            num_heads=2,
+            intermediate_size=32,
+            max_position_embeddings=64,
+        )
+
+
+class _SelfAttention(nn.Module):
+    config: BertConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        cfg = self.config
+        h, nh = cfg.hidden_size, cfg.num_heads
+        hd = h // nh
+        dense = lambda name: nn.Dense(h, dtype=self.dtype, name=name)
+        q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
+        k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
+        v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
+        # (B, nh, T, T)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        if mask is not None:
+            big_neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(mask[:, None, None, :] > 0, logits, big_neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(*x.shape[:2], h)
+        return nn.Dense(h, dtype=self.dtype, name="out")(ctx)
+
+
+class _Layer(nn.Module):
+    config: BertConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        cfg = self.config
+        attn = _SelfAttention(cfg, self.dtype, name="attention")(
+            x, mask, deterministic
+        )
+        attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_ln")(x + attn)
+        y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(y)
+        y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_ln")(x + y)
+
+
+class BertEncoder(nn.Module):
+    """Returns the full last hidden state; CLS = ``out[:, 0, :]``."""
+
+    config: BertConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        B, T = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings")(
+            input_ids
+        )
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings"
+        )(jnp.arange(T)[None, :])
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings")(
+            token_type_ids
+        )
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln")(x)
+        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = _Layer(cfg, self.dtype, name=f"layer_{i}")(
+                x, attention_mask, deterministic
+            )
+        return x
+
+
+def convert_hf_bert_params(state_dict: dict, config: BertConfig) -> dict:
+    """Map an HF torch BERT ``state_dict`` onto ``BertEncoder`` params.
+
+    Accepts tensors or numpy arrays; prefix-insensitive (handles both
+    ``bert.encoder...`` and ``encoder...`` key styles).
+    """
+
+    def get(name):
+        for k in (name, f"bert.{name}"):
+            if k in state_dict:
+                v = state_dict[k]
+                return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        raise KeyError(name)
+
+    def dense(name):
+        return {
+            "kernel": get(f"{name}.weight").T,
+            "bias": get(f"{name}.bias"),
+        }
+
+    def ln(name):
+        return {"scale": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params = {
+        "word_embeddings": {"embedding": get("embeddings.word_embeddings.weight")},
+        "position_embeddings": {
+            "embedding": get("embeddings.position_embeddings.weight")
+        },
+        "token_type_embeddings": {
+            "embedding": get("embeddings.token_type_embeddings.weight")
+        },
+        "embeddings_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{p}.attention.self.query"),
+                "key": dense(f"{p}.attention.self.key"),
+                "value": dense(f"{p}.attention.self.value"),
+                "out": dense(f"{p}.attention.output.dense"),
+            },
+            "attention_ln": ln(f"{p}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{p}.intermediate.dense"),
+            "output": dense(f"{p}.output.dense"),
+            "output_ln": ln(f"{p}.output.LayerNorm"),
+        }
+    return jax.tree.map(jnp.asarray, params)

@@ -1,0 +1,394 @@
+"""Stage-I training system: one jitted SPMD train step for the 64px
+text-conditioned WGAN-GP.
+
+Capability match for ``/root/reference/stage_1_train_fn.py:92-196`` +
+``train.py:60-164``, redesigned TPU-first:
+
+* The whole per-batch computation — ``n_critic=5`` critic updates
+  (text encode ×2, CA, G fwd, 3 critic fwds, second-order gradient
+  penalty, Adam update) followed by the generator/encoder/projection/CA
+  update — compiles to ONE XLA graph. The reference cuts its lazy graph at
+  every ``xm.optimizer_step`` / ``.item()``; here there are zero host
+  syncs inside the step.
+* The critic inner loop is a ``lax.scan`` over per-iteration PRNG keys.
+* Matched + mismatched captions run through the text encoder as one
+  doubled batch (2B) — one MXU-efficient forward instead of two
+  (semantics-preserving: BERT has no batch-coupled ops).
+* Data parallelism: the step is written per-shard; gradients are
+  ``lax.pmean``-reduced over the ``data`` mesh axis under ``shard_map``.
+  BatchNorm stays per-replica, matching torch_xla per-core BN.
+* RNG: a single key threads the step; replicas receive the same key, so
+  noise/permutations are shared across replicas exactly like the
+  reference's seed all-reduce (stage_1_train_fn.py:98-106) — but with no
+  collective and no host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imagegenerator_tpu.models.bert import BertConfig, BertEncoder
+from imagegenerator_tpu.models.con_augment import ConditioningAugmentation
+from imagegenerator_tpu.models.stackgan import StageIDiscriminator, StageIGenerator
+from imagegenerator_tpu.ops.layers import Dense
+from imagegenerator_tpu.train import losses, schedules
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    """Hyperparameters; defaults mirror ``/root/reference/train.py:31-37``
+    and ``stage_1_train_fn.py:14-16``."""
+
+    tem_size: int = 512
+    c_dim: int = 128
+    z_dim: int = 100
+    nd: int = 128
+    h_dim: int = 256
+    n_critic: int = 5
+    lambda_gp: float = 10.0
+    lr: float = 1e-3
+    encoder_lr: float = 5e-5
+    sched_step: int = 100
+    sched_gamma: float = 0.5
+    # 'correct' = +2*KL penalty; 'faithful' = the reference's inverted sign
+    # (stage_1_train_fn.py:156-159). See SURVEY.md §2.
+    kl_mode: str = "correct"
+    # Reference runs the text encoder in train mode => dropout active.
+    text_dropout: bool = True
+    seq_len: int = 128
+    bert: BertConfig = dataclasses.field(default_factory=BertConfig)
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for TPU throughput
+
+    @classmethod
+    def tiny(cls, **kw) -> "Stage1Config":
+        """Small config for CPU tests (BASELINE.json config 1)."""
+        return cls(
+            tem_size=32,
+            c_dim=16,
+            z_dim=12,
+            nd=16,
+            h_dim=16,
+            seq_len=8,
+            bert=BertConfig.tiny(),
+            **kw,
+        )
+
+
+class Stage1State(struct.PyTreeNode):
+    params: dict
+    batch_stats: dict
+    opt_state: dict
+    step: jax.Array
+
+
+MODULES = ("encoder", "projection", "con_augment", "generator", "critic")
+GEN_SIDE = ("encoder", "projection", "con_augment", "generator")
+
+
+class Stage1System:
+    """Bundles the five modules + per-module optimizers, provides
+    ``init`` and a pure ``train_step``."""
+
+    def __init__(self, config: Stage1Config):
+        self.config = config
+        c = config
+        self.encoder = BertEncoder(c.bert, dtype=c.compute_dtype)
+        self.projection = Dense(c.tem_size, dtype=c.compute_dtype)
+        self.con_augment = ConditioningAugmentation(h_dim=c.h_dim, c_dim=c.c_dim)
+        self.generator = StageIGenerator(
+            c_dim=c.c_dim, z_dim=c.z_dim, dtype=c.compute_dtype
+        )
+        self.critic = StageIDiscriminator(
+            tem_size=c.tem_size, nd=c.nd, dtype=c.compute_dtype
+        )
+        self.tx = {
+            "encoder": schedules.adamw_with_steplr(
+                c.encoder_lr, c.sched_step, c.sched_gamma
+            ),
+            **{
+                name: schedules.adam_with_steplr(c.lr, c.sched_step, c.sched_gamma)
+                for name in ("projection", "con_augment", "generator", "critic")
+            },
+        }
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array, batch_size: int) -> Stage1State:
+        c = self.config
+        keys = jax.random.split(key, 6)
+        tokens = jnp.zeros((batch_size, c.seq_len), jnp.int32)
+        mask = jnp.ones((batch_size, c.seq_len), jnp.int32)
+        tem = jnp.zeros((batch_size, c.tem_size), jnp.float32)
+        latent = jnp.zeros((batch_size, c.c_dim + c.z_dim), jnp.float32)
+        img = jnp.zeros((batch_size, 64, 64, 3), jnp.float32)
+
+        enc = self.encoder.init(
+            {"params": keys[0], "dropout": keys[5]}, tokens, mask
+        )
+        proj = self.projection.init(keys[1], jnp.zeros((1, c.bert.hidden_size)))
+        ca = self.con_augment.init({"params": keys[2], "noise": keys[2]}, tem)
+        gen = self.generator.init(keys[3], latent, train=False)
+        crit = self.critic.init(keys[4], img, tem, train=False)
+
+        params = {
+            "encoder": enc["params"],
+            "projection": proj["params"],
+            "con_augment": ca["params"],
+            "generator": gen["params"],
+            "critic": crit["params"],
+        }
+        batch_stats = {
+            "generator": gen["batch_stats"],
+            "critic": crit["batch_stats"],
+        }
+        opt_state = {m: self.tx[m].init(params[m]) for m in MODULES}
+        return Stage1State(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def encode_text(self, enc_params, proj_params, tokens, mask, dropout_key):
+        """tokens -> tem (CLS hidden state -> 768->tem_size projection);
+        reference stage_1_train_fn.py:117-119 + train.py:69."""
+        deterministic = dropout_key is None or not self.config.text_dropout
+        rngs = None if deterministic else {"dropout": dropout_key}
+        hidden = self.encoder.apply(
+            {"params": enc_params},
+            tokens,
+            mask,
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+        cls = hidden[:, 0, :].astype(jnp.float32)
+        return self.projection.apply({"params": proj_params}, cls)
+
+    def _gen_forward(self, params, gen_stats, tem, k_ca, k_z, batch_size):
+        """CA -> z-noise -> G1. Returns (fake_64, mu, sigma, new_gen_stats)."""
+        c = self.config
+        c_hat, mu, sigma = self.con_augment.apply(
+            {"params": params["con_augment"]}, tem, rngs={"noise": k_ca}
+        )
+        z = jax.random.normal(k_z, (batch_size, c.z_dim), jnp.float32)
+        latent = jnp.concatenate([c_hat, z], axis=1)
+        fake, mut = self.generator.apply(
+            {"params": params["generator"], "batch_stats": gen_stats},
+            latent,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return fake, mu, sigma, mut["batch_stats"]
+
+    def _critic_apply(self, critic_params, critic_stats, img, tem):
+        """One critic forward in train mode; returns (scores, new_stats)."""
+        scores, mut = self.critic.apply(
+            {"params": critic_params, "batch_stats": critic_stats},
+            img,
+            tem,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return scores.reshape(-1).astype(jnp.float32), mut["batch_stats"]
+
+    # ------------------------------------------------------------------
+    def train_step(
+        self,
+        state: Stage1State,
+        batch: dict,
+        key: jax.Array,
+        axis_name: str | None = None,
+    ):
+        """One full optimizer step (5 critic updates + 1 generator update).
+
+        batch: {'input_ids': (B,T) i32, 'attention_mask': (B,T) i32,
+                'image': (B,64,64,3) f32 in [-1,1]}
+        Under ``shard_map`` the batch is the per-replica shard and
+        ``axis_name='data'``; gradients are pmean-reduced.
+        """
+        c = self.config
+        tokens = batch["input_ids"]
+        mask = batch["attention_mask"]
+        real = batch["image"]
+        bsz = tokens.shape[0]
+
+        def pmean(tree):
+            if axis_name is None:
+                return tree
+            return jax.lax.pmean(tree, axis_name)
+
+        k_perm, k_loop = jax.random.split(key)
+        # Matching-aware negatives: shared-key caption permutation
+        # (reference stage_1_train_fn.py:108-111).
+        perm = jax.random.permutation(k_perm, bsz)
+        tokens_mis = tokens[perm]
+        mask_mis = mask[perm]
+
+        # One key bundle per critic iteration + the keys the generator step
+        # reuses so its recomputed graph is bit-identical to the saved
+        # graph the reference backprops through.
+        iter_keys = jax.random.split(k_loop, c.n_critic)
+
+        tokens_2b = jnp.concatenate([tokens, tokens_mis], axis=0)
+        mask_2b = jnp.concatenate([mask, mask_mis], axis=0)
+
+        def text_fwd_both(params, k_drop):
+            """Matched+mismatched captions in one doubled-batch forward."""
+            tem_2b = self.encode_text(
+                params["encoder"], params["projection"], tokens_2b, mask_2b, k_drop
+            )
+            return tem_2b[:bsz], tem_2b[bsz:]
+
+        # ---------------- critic inner loop (lax.scan) ----------------
+        def critic_iter(carry, it_key):
+            critic_params, critic_opt, gen_stats, critic_stats = carry
+            k_drop, k_ca, k_z, k_gp = jax.random.split(it_key, 4)
+
+            tem, tem_mis = text_fwd_both(state.params, k_drop)
+            fake, _mu, _sigma, gen_stats = self._gen_forward(
+                state.params, gen_stats, tem, k_ca, k_z, bsz
+            )
+            fake = jax.lax.stop_gradient(fake)
+            tem_sg = jax.lax.stop_gradient(tem)
+            tem_mis_sg = jax.lax.stop_gradient(tem_mis)
+
+            # Three separate train-mode critic forwards, stats threaded in
+            # reference order: real, mismatched, fake, then the GP forward
+            # (stage_1_train_fn.py:125-144 + utils.py:14).
+            def loss_fn(cp):
+                s_real, st1 = self._critic_apply(cp, critic_stats, real, tem_sg)
+                s_mis, st2 = self._critic_apply(cp, st1, real, tem_mis_sg)
+                s_fake, st3 = self._critic_apply(cp, st2, fake, tem_sg)
+
+                def score_fn(images):
+                    s, _ = self._critic_apply(cp, st3, images, tem_sg)
+                    return s
+
+                gp = losses.gradient_penalty(score_fn, real, fake, k_gp)
+                # stats update from the GP forward (torch train-mode fwd)
+                eps = jax.random.uniform(k_gp, (bsz, 1, 1, 1), real.dtype)
+                interp = real * eps + fake * (1.0 - eps)
+                _, st4 = self._critic_apply(cp, st3, interp, tem_sg)
+
+                neg = jnp.concatenate([s_mis, s_fake], axis=0)
+                loss = losses.wgan_critic_loss(s_real, neg) + c.lambda_gp * gp
+                return loss, (st4, gp)
+
+            (loss_d, (critic_stats, gp)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(critic_params)
+            grads = pmean(grads)
+            updates, critic_opt = self.tx["critic"].update(
+                grads, critic_opt, critic_params
+            )
+            critic_params = optax.apply_updates(critic_params, updates)
+            return (
+                (critic_params, critic_opt, gen_stats, critic_stats),
+                (loss_d, gp),
+            )
+
+        carry0 = (
+            state.params["critic"],
+            state.opt_state["critic"],
+            state.batch_stats["generator"],
+            state.batch_stats["critic"],
+        )
+        (critic_params, critic_opt, gen_stats, critic_stats), (d_losses, gps) = (
+            jax.lax.scan(critic_iter, carry0, iter_keys)
+        )
+
+        # ---------------- generator-side update ----------------
+        # Reference gen step (stage_1_train_fn.py:154-172) backprops
+        # through the LAST critic iteration's saved graph; we recompute it
+        # with the same PRNG keys, against the post-update critic.
+        k_drop_l, k_ca_l, k_z_l, _ = jax.random.split(iter_keys[-1], 4)
+
+        def gen_loss_fn(gen_side_params):
+            params = dict(state.params)
+            params.update(gen_side_params)
+            tem, _ = text_fwd_both(params, k_drop_l)
+            fake, mu, sigma, gstats = self._gen_forward(
+                params, gen_stats, tem, k_ca_l, k_z_l, bsz
+            )
+            s_fake, cstats = self._critic_apply(critic_params, critic_stats, fake, tem)
+            kl = losses.kl_term(mu, sigma, c.kl_mode)
+            loss = losses.wgan_generator_loss(s_fake) + kl
+            return loss, (gstats, cstats, kl)
+
+        gen_side = {m: state.params[m] for m in GEN_SIDE}
+        (loss_g, (gen_stats, critic_stats, kl)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(gen_side)
+        gen_grads = pmean(gen_grads)
+
+        new_params = dict(state.params)
+        new_opt = dict(state.opt_state)
+        for m in GEN_SIDE:
+            updates, new_opt[m] = self.tx[m].update(
+                gen_grads[m], state.opt_state[m], state.params[m]
+            )
+            new_params[m] = optax.apply_updates(state.params[m], updates)
+        new_params["critic"] = critic_params
+        new_opt["critic"] = critic_opt
+
+        metrics = {
+            "loss_critic": d_losses[-1],
+            "loss_gen": loss_g,
+            "gp": gps[-1],
+            "kl": kl,
+        }
+        metrics = pmean(metrics)
+
+        new_state = Stage1State(
+            params=new_params,
+            batch_stats={"generator": gen_stats, "critic": critic_stats},
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+
+# ----------------------------------------------------------------------
+def make_train_step(
+    system: Stage1System, mesh: Mesh | None = None, donate: bool = True
+):
+    """Compile the train step; with a mesh, SPMD over the ``data`` axis.
+
+    ``donate=True`` donates the input state's buffers (halves peak HBM for
+    the params/opt-state); pass False when the caller must keep the old
+    state alive (e.g. tests comparing before/after).
+    """
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        fn = functools.partial(system.train_step, axis_name=None)
+        return jax.jit(fn, donate_argnums=donate_argnums)
+
+    per_shard = functools.partial(system.train_step, axis_name="data")
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=donate_argnums)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place every leaf replicated over the mesh (the JAX analog of
+    ``pjrt.broadcast_master_param``, reference train.py:78-85)."""
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard the leading batch axis over the ``data`` mesh axis."""
+    return jax.device_put(batch, NamedSharding(mesh, P("data")))

@@ -1,0 +1,93 @@
+"""Benchmark: Stage-II 256px training throughput (images/sec/chip).
+
+This is the reference workload of ``/root/reference/stage_2_train_fn.py``
+(per-replica batch 32, n_critic=5, full SpanBERT-base-sized text encoder,
+64->256px refinement GAN with WGAN-GP) measured as one fully-fused XLA
+step on a single TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is computed against BENCH_BASELINE.json (the first
+recorded measurement — the reference publishes no numbers, see
+BASELINE.md); 1.0 when no record exists yet.
+
+Env knobs:
+  BENCH_BATCH  (default 32)   per-chip batch size
+  BENCH_STEPS  (default 8)    timed steps
+  BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    dtype = (
+        jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    )
+
+    from imagegenerator_tpu.train.stage2 import (
+        Stage2Config,
+        Stage2System,
+        make_train_step,
+    )
+
+    cfg = Stage2Config(compute_dtype=dtype)
+    system = Stage2System(cfg)
+
+    key = jax.random.key(0)
+    state = system.init(key, batch)
+    kt, ki = jax.random.split(jax.random.key(1))
+    batch_data = {
+        "input_ids": jax.random.randint(
+            kt, (batch, cfg.seq_len), 0, cfg.bert.vocab_size
+        ),
+        "attention_mask": jnp.ones((batch, cfg.seq_len), jnp.int32),
+        "image": jax.random.uniform(
+            ki, (batch, 256, 256, 3), jnp.float32, minval=-1, maxval=1
+        ),
+    }
+    batch_data = jax.device_put(batch_data)
+
+    step = make_train_step(system, donate=True)
+
+    # warmup / compile
+    state, metrics = step(state, batch_data, jax.random.key(2))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * steps / dt
+
+    vs_baseline = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = images_per_sec / float(base["value"])
+    except (OSError, ValueError):
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "stage2_256px_train_images_per_sec_per_chip",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Orbax-backed checkpoint/resume with the reference's layout contract.
+
+The reference checkpoints every 10 epochs from the master replica only,
+dual-writing a per-epoch file plus a rolling ``latest`` file, and resumes
+by probing ``latest`` (``/root/reference/stage_1_train_fn.py:55-82,
+211-238``). Here:
+
+* one pytree per stage (params / batch_stats / opt_state / step) saved
+  via Orbax with async-friendly atomic directory semantics;
+* ``save(epoch, state)`` writes ``epochs/<epoch>`` and updates
+  ``latest``;
+* ``restore_latest(template)`` returns (state, epoch) or (None, -1);
+* works on local paths and ``gs://`` URLs alike (Orbax handles both),
+  so resume-from-latest keeps the same recovery contract (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_every_epochs: int = 10):
+        self.directory = directory
+        self.save_every_epochs = save_every_epochs
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.directory, "epochs", f"checkpoint_epoch_{epoch}")
+
+    def _latest_dir(self) -> str:
+        return os.path.join(self.directory, "latest")
+
+    def _marker(self) -> str:
+        return os.path.join(self.directory, "LATEST_EPOCH")
+
+    # ------------------------------------------------------------------
+    def should_save(self, epoch: int) -> bool:
+        return epoch % self.save_every_epochs == 0
+
+    def save(self, epoch: int, state) -> None:
+        """Dual-write: per-epoch checkpoint + rolling latest + marker."""
+        self._ckptr.save(self._epoch_dir(epoch), state, force=True)
+        self._ckptr.save(self._latest_dir(), state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(self._marker(), "w") as f:
+            f.write(str(epoch))
+
+    def latest_epoch(self) -> int:
+        try:
+            with open(self._marker()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def restore_latest(self, template):
+        """Returns (state, start_epoch). ``template`` is an abstract or
+        concrete pytree with the target structure/shapes; start_epoch is
+        saved_epoch + 1, matching the reference's resume contract
+        (stage_1_train_fn.py:62)."""
+        epoch = self.latest_epoch()
+        if epoch < 0:
+            return None, 0
+        state = self._ckptr.restore(self._latest_dir(), template)
+        return state, epoch + 1

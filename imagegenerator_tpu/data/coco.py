@@ -1,0 +1,89 @@
+"""COCO caption↔image dataset.
+
+Capability match for the reference's ``TexttoImgCOCO``
+(``/root/reference/data_loader.py:16-61``): build a caption↔file_name
+manifest from the COCO ``captions_*.json`` annotation file, then serve
+(caption, decoded+resized image) samples.
+
+Differences by design (SURVEY.md §3.4):
+* the annotation JSON is fetched ONCE through a shared ``BlobStore``;
+* image bytes are fetched through the same shared store (one client),
+  decoded with PIL, resized, normalized to [-1, 1] — the reference's
+  ``ToTensor + Resize + Normalize(0.5, 0.5)`` transform
+  (``/root/reference/train.py:40-54``) without per-item client churn;
+* per-host sharding is an explicit (host_index, host_count) slice,
+  the ``DistributedSampler`` role.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+from imagegenerator_tpu.data.storage import BlobStore
+
+
+@dataclass(frozen=True)
+class ManifestEntry:
+    caption: str
+    file_name: str
+
+
+def build_manifest(store: BlobStore, ann_file: str) -> list[ManifestEntry]:
+    """annotation JSON -> [(caption, file_name)] via an image_id join."""
+    anns = json.loads(store.read_text(ann_file))
+    id_to_file = {img["id"]: img["file_name"] for img in anns["images"]}
+    out = []
+    for ann in anns["annotations"]:
+        fname = id_to_file.get(ann["image_id"])
+        if fname is not None:
+            out.append(ManifestEntry(caption=ann["caption"], file_name=fname))
+    return out
+
+
+def decode_resize_normalize(data: bytes, size: int) -> np.ndarray:
+    """JPEG/PNG bytes -> float32 NHWC image in [-1, 1] at (size, size).
+
+    Matches ToTensor -> Resize(size) -> Normalize(0.5, 0.5): bilinear
+    resize of the [0,1] image then (x - 0.5) / 0.5.
+    """
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = img.resize((size, size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+class CocoCaptions:
+    """Random-access (caption, image) dataset with host sharding."""
+
+    def __init__(
+        self,
+        store: BlobStore,
+        root: str,
+        ann_file: str,
+        image_size: int = 64,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        self.store = store
+        self.root = root.rstrip("/")
+        self.image_size = image_size
+        full = build_manifest(store, ann_file)
+        # contiguous per-host shard (drop the ragged tail so every host
+        # sees the same number of samples — the DistributedSampler+
+        # drop_last contract, reference data_loader.py:90-106)
+        per_host = len(full) // host_count
+        self.entries = full[host_index * per_host : (host_index + 1) * per_host]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, index: int) -> tuple[str, np.ndarray]:
+        e = self.entries[index]
+        data = self.store.read_bytes(f"{self.root}/{e.file_name}")
+        return e.caption, decode_resize_normalize(data, self.image_size)

@@ -56,17 +56,31 @@ def main():
 
     step = make_train_step(system, donate=True)
 
+    def fence(x):
+        # On the tunneled axon platform block_until_ready does not
+        # synchronize; a host readback of a live scalar is the fence.
+        import numpy as np
+
+        return float(np.asarray(x["loss_gen"]))
+
     # warmup / compile
     state, metrics = step(state, batch_data, jax.random.key(2))
-    jax.block_until_ready(metrics)
+    fence(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    def timed(n, state):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+        fence(metrics)
+        return time.perf_counter() - t0, state
 
-    images_per_sec = batch * steps / dt
+    # Difference two run lengths so the constant readback/tunnel latency
+    # cancels: per-step = (t(2N) - t(N)) / N.
+    d1, state = timed(steps, state)
+    d2, state = timed(2 * steps, state)
+    per_step = max((d2 - d1) / steps, 1e-9)
+
+    images_per_sec = batch / per_step
 
     vs_baseline = 1.0
     try:

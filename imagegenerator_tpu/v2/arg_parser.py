@@ -1,0 +1,50 @@
+"""v2 CLI flag surface — identical contract to the reference's parser
+(``/root/reference/v2_implementation/arg_parser.py:4-95``): same short
+and long names, same dests, same defaults. One TPU-motivated addition
+(``--bpe_vocab``) is appended at the end; everything the reference
+accepts works unchanged (``-cd/--cuda_device`` is accepted and mapped to
+a JAX platform hint)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ImageGenv2 using VQGAN+CLIP (TPU)")
+    p.add_argument("-p", "--prompts", type=str, default=None, dest="prompts",
+                   help="Text prompts (| separated; each 'text:weight:stop')")
+    p.add_argument("-i", "--iterations", type=int, default=200,
+                   dest="max_iterations", help="Number of iterations")
+    p.add_argument("-se", "--save_every", type=int, default=20,
+                   dest="display_freq", help="Save image iterations")
+    p.add_argument("-s", "--size", nargs=2, type=int,
+                   default=[default_image_size, default_image_size],
+                   dest="size", help="Image size, width height")
+    p.add_argument("-m", "--clip_model", type=str, default="ViT-B/32",
+                   dest="clip_model", help="CLIP model")
+    p.add_argument("-conf", "--vqgan_config", type=str,
+                   default="checkpoints/vqgan_imagenet_f16_16384.yaml",
+                   dest="vqgan_config", help="VQGAN configuration")
+    p.add_argument("-ckpt", "--vqgan_checkpoint", type=str,
+                   default="checkpoints/vqgan_imagenet_f16_16384.ckpt",
+                   dest="vqgan_checkpoint", help="VQGAN checkpoint")
+    p.add_argument("-lr", "--learning_rate", type=float, default=0.1,
+                   dest="step_size", help="Learning rate")
+    p.add_argument("-sd", "--seed", type=int, default=None, dest="seed",
+                   help="Seed")
+    p.add_argument("-cd", "--cuda_device", type=str, default="tpu",
+                   dest="cuda_device",
+                   help="Accelerator hint (reference compat; tpu|cpu)")
+    p.add_argument("-o", "--output", type=str, default="output.png",
+                   dest="output", help="Output image filename")
+    p.add_argument("-in", "--init_noise", type=str, default=None,
+                   dest="init_noise",
+                   help="Initial noise image (random or gradient)")
+    # TPU build extras (appended; absent in the reference)
+    p.add_argument("--bpe_vocab", type=str, default=None, dest="bpe_vocab",
+                   help="Path to CLIP bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--clip_checkpoint", type=str, default=None,
+                   dest="clip_checkpoint",
+                   help="Path to an OpenAI CLIP .pt checkpoint")
+    return p

@@ -1,0 +1,214 @@
+"""JAX image augmentations — the kornia pipeline of the reference's
+cutout sampler (``/root/reference/v2_implementation/vision_utils.py:
+99-106``), vectorized over the cutout batch:
+
+  RandomHorizontalFlip(p=.5) -> ColorJitter(hue=.01, saturation=.01,
+  p=.7) -> RandomSharpness(.3, p=.4) -> RandomAffine(30deg, translate
+  .1, p=.8, border padding) -> RandomPerspective(.2, p=.4)
+
+All transforms are per-sample randomized (one PRNG key in), applied as
+batched tensor ops: geometric warps build per-sample inverse coordinate
+grids and bilinear-sample with border clamping — no data-dependent
+shapes, fully jit/vmap-compatible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------- sampling
+def bilinear_sample(img, coords):
+    """img: (H, W, C); coords: (H_out, W_out, 2) as (y, x) source coords.
+    Border-clamped bilinear sampling."""
+    H, W, _ = img.shape
+    y = jnp.clip(coords[..., 0], 0.0, H - 1.0)
+    x = jnp.clip(coords[..., 1], 0.0, W - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (y - y0)[..., None]
+    wx = (x - x0)[..., None]
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    return (
+        p00 * (1 - wy) * (1 - wx)
+        + p01 * (1 - wy) * wx
+        + p10 * wy * (1 - wx)
+        + p11 * wy * wx
+    )
+
+
+def _identity_grid(H, W):
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
+    return jnp.stack(jnp.meshgrid(yy, xx, indexing="ij"), axis=-1)  # (H,W,2)
+
+
+# ---------------------------------------------------------------- color
+def rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-8), 0.0)
+    deltac_safe = jnp.where(deltac > 0, deltac, 1.0)
+    rc = (maxc - r) / deltac_safe
+    gc = (maxc - g) / deltac_safe
+    bc = (maxc - b) / deltac_safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(deltac > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(img, hue_shift, sat_factor):
+    """img in [0,1]; hue_shift in turns; multiplicative saturation."""
+    hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    h = (hsv[..., 0] + hue_shift) % 1.0
+    s = jnp.clip(hsv[..., 1] * sat_factor, 0.0, 1.0)
+    return hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+
+
+def sharpness(img, factor):
+    """torchvision-style: blend the image with a fixed 3x3 smoothing of
+    its interior. factor 1 = identity, >1 = sharper."""
+    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    H, W, C = img.shape
+    x = img.transpose(2, 0, 1)[:, None]  # (C,1,H,W)
+    blurred = jax.lax.conv_general_dilated(
+        x, kernel[None, None], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0].transpose(1, 2, 0)
+    # interior-only blend (torchvision keeps the 1px border unchanged)
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    interior = ((yy > 0) & (yy < H - 1) & (xx > 0) & (xx < W - 1))[..., None]
+    blended = img + (factor - 1.0) * (img - blurred)
+    return jnp.where(interior, jnp.clip(blended, 0.0, 1.0), img)
+
+
+# ------------------------------------------------------------ geometric
+def affine_grid(H, W, angle_deg, translate, scale=1.0):
+    """Inverse-map grid for a rotation+translation about the center."""
+    theta = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    grid = _identity_grid(H, W)
+    y = grid[..., 0] - cy - translate[0]
+    x = grid[..., 1] - cx - translate[1]
+    # inverse rotation
+    src_y = (cos * y + sin * x) / scale + cy
+    src_x = (-sin * y + cos * x) / scale + cx
+    return jnp.stack([src_y, src_x], axis=-1)
+
+
+def perspective_grid(H, W, src_corners):
+    """Inverse-map grid sending the output rectangle to ``src_corners``
+    (4x2, order: tl, tr, br, bl, as (y, x))."""
+    dst = jnp.array(
+        [[0.0, 0.0], [0.0, W - 1.0], [H - 1.0, W - 1.0], [H - 1.0, 0.0]]
+    )
+    # Solve the 8-dof homography mapping dst -> src.
+    rows = []
+    rhs = []
+    for i in range(4):
+        dy, dx = dst[i, 0], dst[i, 1]
+        sy, sx = src_corners[i, 0], src_corners[i, 1]
+        rows.append(jnp.stack(
+            [dy, dx, 1.0, 0.0 * dy, 0.0 * dy, 0.0 * dy, -sy * dy, -sy * dx]
+        ))
+        rhs.append(sy)
+        rows.append(jnp.stack(
+            [0.0 * dy, 0.0 * dy, 0.0 * dy, dy, dx, 1.0, -sx * dy, -sx * dx]
+        ))
+        rhs.append(sx)
+    A = jnp.stack(rows)
+    b = jnp.stack(rhs)
+    h = jnp.linalg.solve(A, b)
+    Hm = jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
+    grid = _identity_grid(H, W)
+    ones = jnp.ones_like(grid[..., :1])
+    pts = jnp.concatenate([grid, ones], axis=-1)  # (H,W,3) as (y,x,1)
+    warped = pts @ Hm.T
+    return warped[..., :2] / jnp.maximum(warped[..., 2:3], 1e-8)
+
+
+# ------------------------------------------------------------- pipeline
+def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
+                   degrees=30.0, translate=0.1, distortion=0.2,
+                   p_flip=0.5, p_jitter=0.7, p_sharp=0.4, p_affine=0.8,
+                   p_persp=0.4):
+    """Apply the reference's augmentation stack to (N, H, W, C) in [0,1]."""
+    N, H, W, _ = batch.shape
+    keys = jax.random.split(key, 10)
+
+    # horizontal flip
+    do_flip = jax.random.bernoulli(keys[0], p_flip, (N,))
+    batch = jnp.where(do_flip[:, None, None, None], batch[:, :, ::-1, :], batch)
+
+    # color jitter (hue/sat)
+    do_jit = jax.random.bernoulli(keys[1], p_jitter, (N,))
+    hue_shift = jax.random.uniform(keys[2], (N,), minval=-hue, maxval=hue)
+    sat_fac = jax.random.uniform(keys[3], (N,), minval=1 - sat, maxval=1 + sat)
+    jittered = jax.vmap(color_jitter)(batch, hue_shift, sat_fac)
+    batch = jnp.where(do_jit[:, None, None, None], jittered, batch)
+
+    # sharpness
+    do_sharp = jax.random.bernoulli(keys[4], p_sharp, (N,))
+    sharp_fac = jax.random.uniform(keys[5], (N,), minval=1.0, maxval=1.0 + sharp)
+    sharped = jax.vmap(sharpness)(batch, sharp_fac)
+    batch = jnp.where(do_sharp[:, None, None, None], sharped, batch)
+
+    # affine (rotation + translation, border padding)
+    do_aff = jax.random.bernoulli(keys[6], p_affine, (N,))
+    angles = jax.random.uniform(keys[7], (N,), minval=-degrees, maxval=degrees)
+    trans = jax.random.uniform(
+        keys[8], (N, 2), minval=-translate, maxval=translate
+    ) * jnp.array([H, W])
+
+    def apply_affine(img, angle, t):
+        return bilinear_sample(img, affine_grid(H, W, angle, t))
+
+    warped = jax.vmap(apply_affine)(batch, angles, trans)
+    batch = jnp.where(do_aff[:, None, None, None], warped, batch)
+
+    # perspective
+    do_persp = jax.random.bernoulli(keys[9], p_persp, (N,))
+    k_c = jax.random.fold_in(keys[9], 1)
+    max_dy, max_dx = distortion * H / 2.0, distortion * W / 2.0
+    base = jnp.array([[0.0, 0.0], [0.0, W - 1.0], [H - 1.0, W - 1.0], [H - 1.0, 0.0]])
+    sign = jnp.array([[1, 1], [1, -1], [-1, -1], [-1, 1]], jnp.float32)
+    deltas = (
+        jax.random.uniform(k_c, (N, 4, 2))
+        * jnp.array([max_dy, max_dx])
+        * sign
+    )
+    corners = base + deltas
+
+    def apply_persp(img, cs):
+        return bilinear_sample(img, perspective_grid(H, W, cs))
+
+    persped = jax.vmap(apply_persp)(batch, corners)
+    batch = jnp.where(do_persp[:, None, None, None], persped, batch)
+    return batch

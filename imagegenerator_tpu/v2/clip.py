@@ -1,0 +1,233 @@
+"""CLIP (ViT image tower + causal text transformer) in flax, NHWC.
+
+The reference loads OpenAI CLIP via ``clip.load(args.clip_model)``
+(``/root/reference/v2_implementation/generate.py:74-78``) and uses only
+``encode_image`` / ``encode_text`` / ``visual.input_resolution``. This is
+a from-scratch flax implementation of that architecture family
+(ViT-B/32, ViT-B/16, ViT-L/14 image towers + the matching text towers):
+
+  * visual: stride-``patch`` conv embed (no bias) -> prepend class token
+    -> learned positional embedding -> pre-LN transformer with QuickGELU
+    MLPs -> ln_post on the class token -> projection to embed_dim.
+  * text: token embedding (vocab 49408) -> positional embedding ->
+    causally-masked transformer -> ln_final -> features at the EOT token
+    (argmax of token ids) -> text projection.
+
+Weights convert from an OpenAI CLIP torch state_dict via
+``convert.convert_clip_params``. Tests run small random configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    # vision
+    image_resolution: int = 224
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    patch_size: int = 32
+    # text
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+
+    @classmethod
+    def vit_b32(cls) -> "CLIPConfig":
+        return cls()
+
+    @classmethod
+    def vit_b16(cls) -> "CLIPConfig":
+        return cls(patch_size=16)
+
+    @classmethod
+    def vit_l14(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=768,
+            vision_width=1024,
+            vision_layers=24,
+            vision_heads=16,
+            patch_size=14,
+            text_width=768,
+            text_layers=12,
+            text_heads=12,
+        )
+
+    @classmethod
+    def tiny(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=16,
+            image_resolution=32,
+            vision_width=16,
+            vision_layers=2,
+            vision_heads=2,
+            patch_size=8,
+            vocab_size=256,
+            context_length=16,
+            text_width=16,
+            text_layers=2,
+            text_heads=2,
+        )
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class _Block(nn.Module):
+    """Pre-LN residual attention block with QuickGELU MLP."""
+
+    width: int
+    heads: int
+    causal: bool = False
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        hd = self.width // self.heads
+
+        h = nn.LayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, self.heads, hd)
+        k = k.reshape(B, T, self.heads, hd)
+        v = v.reshape(B, T, self.heads, hd)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((T, T), bool))
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, C)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(ctx)
+
+        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    config: CLIPConfig
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, R, R, 3), CLIP-normalized. Returns (B, embed_dim)."""
+        c = self.config
+        scale = c.vision_width ** -0.5
+        x = nn.Conv(
+            c.vision_width,
+            (c.patch_size, c.patch_size),
+            strides=c.patch_size,
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(images)
+        B = x.shape[0]
+        x = x.reshape(B, -1, c.vision_width)
+        cls_emb = self.param(
+            "class_embedding",
+            lambda k, s: scale * jax.random.normal(k, s),
+            (c.vision_width,),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_emb, (B, 1, c.vision_width)).astype(x.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "positional_embedding",
+            lambda k, s: scale * jax.random.normal(k, s),
+            (x.shape[1], c.vision_width),
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.LayerNorm(name="ln_pre")(x)
+        for i in range(c.vision_layers):
+            x = _Block(
+                c.vision_width, c.vision_heads, dtype=self.dtype, name=f"block_{i}"
+            )(x)
+        x = nn.LayerNorm(name="ln_post")(x[:, 0, :])
+        proj = self.param(
+            "proj",
+            lambda k, s: scale * jax.random.normal(k, s),
+            (c.vision_width, c.embed_dim),
+        )
+        return jnp.dot(x, proj.astype(x.dtype), preferred_element_type=x.dtype)
+
+
+class TextTransformer(nn.Module):
+    config: CLIPConfig
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (B, context_length) int32. Returns (B, embed_dim);
+        features taken at the EOT position (= per-row argmax of ids)."""
+        c = self.config
+        x = nn.Embed(c.vocab_size, c.text_width, name="token_embedding")(tokens)
+        pos = self.param(
+            "positional_embedding",
+            lambda k, s: 0.01 * jax.random.normal(k, s),
+            (c.context_length, c.text_width),
+        )
+        x = x + pos[: x.shape[1]].astype(x.dtype)
+        for i in range(c.text_layers):
+            x = _Block(
+                c.text_width, c.text_heads, causal=True, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(name="ln_final")(x)
+        eot = jnp.argmax(tokens, axis=-1)
+        x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
+        proj = self.param(
+            "text_projection",
+            lambda k, s: (c.text_width ** -0.5) * jax.random.normal(k, s),
+            (c.text_width, c.embed_dim),
+        )
+        return jnp.dot(x, proj.astype(x.dtype), preferred_element_type=x.dtype)
+
+
+class CLIP(nn.Module):
+    config: CLIPConfig
+    dtype: Dtype = None
+
+    def setup(self):
+        self.visual = VisionTransformer(self.config, self.dtype)
+        self.text = TextTransformer(self.config, self.dtype)
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        return self.encode_image(images), self.encode_text(tokens)
+
+
+# CLIP image normalization constants (reference generate.py:117-119).
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def normalize_image(x):
+    """[0,1] NHWC -> CLIP-normalized."""
+    return (x - IMAGE_MEAN) / IMAGE_STD

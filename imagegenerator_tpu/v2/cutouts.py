@@ -1,0 +1,78 @@
+"""Vectorized random-cutout sampler.
+
+Capability match for ``MakeCutouts``
+(``/root/reference/v2_implementation/vision_utils.py:93-125``), which
+takes 32 random square crops per step (size ``rand()**cut_pow *
+(max-min) + min``, random offset), Lanczos-filters + bicubic-resizes
+each to the CLIP resolution in a *Python loop*, then augments and adds
+scaled uniform noise.
+
+TPU-first redesign (SURVEY.md §3.3 'the dominant fusion opportunity'):
+all ``cutn`` crop geometries are sampled with one key and applied as a
+single vmapped ``jax.image.scale_and_translate`` with a ``lanczos3``
+kernel — dynamic *values* (scale/translation arrays), static *shapes*,
+so the whole sampler compiles into the one-iteration XLA graph. The
+continuous crop geometry subsumes the reference's separate
+lanczos-downfilter + bicubic-resize pair (lanczos3 is itself the
+antialiasing resampler).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from imagegenerator_tpu.v2.augment import random_augment
+
+
+@dataclasses.dataclass(frozen=True)
+class MakeCutouts:
+    cut_size: int
+    cutn: int = 32
+    cut_pow: float = 1.0
+    noise_fac: float = 0.1
+    augment: bool = True
+
+    def __call__(self, key: jax.Array, images: jax.Array) -> jax.Array:
+        """images: (B, H, W, C) in [0, 1] -> (B * cutn, cut_size,
+        cut_size, C). Cutout i of every batch image shares geometry,
+        matching the reference (its loop crops the whole batch)."""
+        B, H, W, C = images.shape
+        max_size = float(min(W, H))
+        min_size = float(min(W, H, self.cut_size))
+
+        k_size, k_off, k_aug, k_noise, k_nfac = jax.random.split(key, 5)
+        u = jax.random.uniform(k_size, (self.cutn,))
+        sizes = u ** self.cut_pow * (max_size - min_size) + min_size
+        offs = jax.random.uniform(k_off, (self.cutn, 2))
+        off_y = offs[:, 0] * (H - sizes)
+        off_x = offs[:, 1] * (W - sizes)
+
+        out_shape = (B, self.cut_size, self.cut_size, C)
+
+        def one_cutout(size, oy, ox):
+            # map input window [o, o+size) onto [0, cut_size)
+            scale = jnp.full((2,), self.cut_size) / size
+            translation = -jnp.stack([oy, ox]) * (self.cut_size / size)
+            return jax.image.scale_and_translate(
+                images, out_shape, (1, 2), scale, translation, method="lanczos3"
+            )
+
+        cuts = jax.vmap(one_cutout)(sizes, off_y, off_x)  # (cutn, B, s, s, C)
+        cuts = cuts.transpose(1, 0, 2, 3, 4).reshape(
+            B * self.cutn, self.cut_size, self.cut_size, C
+        )
+        cuts = jnp.clip(cuts, 0.0, 1.0)
+
+        if self.augment:
+            cuts = random_augment(k_aug, cuts)
+
+        if self.noise_fac:
+            facs = jax.random.uniform(
+                k_nfac, (B * self.cutn, 1, 1, 1), maxval=self.noise_fac
+            )
+            cuts = cuts + facs * jax.random.normal(k_noise, cuts.shape)
+        return cuts

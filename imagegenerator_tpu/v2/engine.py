@@ -1,0 +1,191 @@
+"""VQGAN+CLIP latent-optimization engine.
+
+The reference's per-iteration work (``/root/reference/v2_implementation/
+generate.py:137-180``): synth (vector_quantize -> VQGAN decode -> clamped
+[0,1]) -> 32 cutouts -> CLIP image embeds -> per-prompt spherical losses
+-> backward -> Adam step on the latent -> clamp z to the codebook range.
+
+Here that whole iteration — decode, cutouts, CLIP forward AND backward,
+Adam update, z clamp — is ONE jitted XLA graph (`GenerateEngine.step`),
+with an explicit PRNG key per iteration. Generation is batched: ``z`` is
+(B, h, w, e_dim) and each batch element optimizes against its own prompt
+set (padded to a fixed P with zero weights), so multi-prompt generation
+shards data-parallel over a device mesh with zero collectives
+(BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from imagegenerator_tpu.ops.grad_utils import clamp_with_grad, replace_grad
+from imagegenerator_tpu.ops.quantize import vector_quantize
+from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig, normalize_image
+from imagegenerator_tpu.v2.cutouts import MakeCutouts
+from imagegenerator_tpu.v2.prompts import spherical_dist
+from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
+
+
+class LatentState(struct.PyTreeNode):
+    z: jax.Array  # (B, h, w, e_dim)
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: jit static_argnums=0
+class GenerateEngine:
+    vqgan_config: VQGANConfig
+    clip_config: CLIPConfig
+    vqgan_params: dict
+    clip_params: dict
+    cutn: int = 32
+    cut_pow: float = 1.0
+    step_size: float = 0.1
+    augment: bool = True
+    compute_dtype: Any = None
+
+    def __post_init__(self):
+        self.vqmodel = VQModel(self.vqgan_config, dtype=self.compute_dtype)
+        self.clip = CLIP(self.clip_config, dtype=self.compute_dtype)
+        self.make_cutouts = MakeCutouts(
+            cut_size=self.clip_config.image_resolution,
+            cutn=self.cutn,
+            cut_pow=self.cut_pow,
+            augment=self.augment,
+        )
+        self.tx = optax.adam(self.step_size, b1=0.9, b2=0.999, eps=1e-8)
+        codebook = np.asarray(self.vqgan_params["codebook"])
+        # per-channel codebook bounds (reference generate.py:91-92)
+        self.z_min = jnp.asarray(codebook.min(axis=0))[None, None, None, :]
+        self.z_max = jnp.asarray(codebook.max(axis=0))[None, None, None, :]
+
+    # ---------------------------------------------------------------- init
+    def encode_text(self, tokens: np.ndarray) -> jax.Array:
+        """tokens (N, context) -> (N, embed_dim) float32."""
+        return self.clip.apply(
+            {"params": self.clip_params},
+            jnp.asarray(tokens),
+            method=CLIP.encode_text,
+        ).astype(jnp.float32)
+
+    def encode_image_to_latent(self, images: jax.Array) -> jax.Array:
+        """[-1,1] NHWC images -> quantized latents (the reference's
+        ``model.encode`` init path, generate.py:94-105)."""
+        z_q, _ = self.vqmodel.apply(
+            {"params": self.vqgan_params}, images, method=VQModel.encode
+        )
+        return z_q.astype(jnp.float32)
+
+    def random_token_latent(self, key: jax.Array, batch: int, h: int, w: int):
+        """One-hot random codebook tokens (generate.py:107-111)."""
+        c = self.vqgan_config
+        idx = jax.random.randint(key, (batch, h, w), 0, c.n_embed)
+        return jnp.take(
+            jnp.asarray(self.vqgan_params["codebook"]), idx, axis=0
+        ).astype(jnp.float32)
+
+    def init_state(self, z: jax.Array) -> LatentState:
+        return LatentState(
+            z=z, opt_state=self.tx.init(z), step=jnp.zeros((), jnp.int32)
+        )
+
+    # ---------------------------------------------------------------- synth
+    def synth(self, z: jax.Array) -> jax.Array:
+        """latent -> [0,1] image with straight-through quantize + clamped
+        gradient (reference generate.py:137-141)."""
+        z_q = vector_quantize(z, jnp.asarray(self.vqgan_params["codebook"]))
+        dec = self.vqmodel.apply(
+            {"params": self.vqgan_params}, z_q, method=VQModel.decode
+        )
+        return clamp_with_grad((dec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    # ---------------------------------------------------------------- loss
+    def _losses(self, z, key, embeds, weights, stops):
+        """Per-(batch, prompt) loss matrix (B, P)."""
+        B = z.shape[0]
+        out = self.synth(z)
+        cuts = self.make_cutouts(key, out)  # (B*cutn, s, s, C)
+        img_embeds = self.clip.apply(
+            {"params": self.clip_params},
+            normalize_image(cuts),
+            method=CLIP.encode_image,
+        ).astype(jnp.float32)
+        img_embeds = img_embeds.reshape(B, self.cutn, -1)
+
+        def per_batch(ie, emb, w, s):
+            d = spherical_dist(ie, emb)  # (cutn, P)
+            d = d * jnp.sign(w)[None, :]
+            floored = replace_grad(d, jnp.maximum(d, s[None, :]))
+            return jnp.abs(w) * floored.mean(axis=0)  # (P,)
+
+        return jax.vmap(per_batch)(img_embeds, embeds, weights, stops)
+
+    # ---------------------------------------------------------------- step
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step(self, state: LatentState, key: jax.Array, embeds, weights, stops):
+        """One fused optimization iteration. embeds: (B, P, D); weights,
+        stops: (B, P). Returns (new_state, per-prompt losses (B, P))."""
+
+        def total_loss(z):
+            losses = self._losses(z, key, embeds, weights, stops)
+            return jnp.sum(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(state.z)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.z)
+        z = optax.apply_updates(state.z, updates)
+        z = jnp.clip(z, self.z_min, self.z_max)  # generate.py:178-179
+        return LatentState(z=z, opt_state=opt_state, step=state.step + 1), losses
+
+    # ---------------------------------------------------------------- run
+    def run(
+        self,
+        state: LatentState,
+        key: jax.Array,
+        embeds,
+        weights,
+        stops,
+        iterations: int,
+        display_freq: int = 20,
+        checkin=None,
+    ) -> LatentState:
+        """Python driver loop; host sync only at checkin intervals
+        (the reference syncs every iteration via tqdm/loss prints)."""
+        for i in range(iterations + 1):
+            it_key = jax.random.fold_in(key, i)
+            if checkin is not None and i % display_freq == 0:
+                imgs = self.synth(state.z)
+                losses = self._losses(state.z, it_key, embeds, weights, stops)
+                checkin(i, np.asarray(imgs), np.asarray(losses))
+            if i == iterations:
+                break
+            state, _ = self.step(state, it_key, embeds, weights, stops)
+        return state
+
+
+def pad_prompt_specs(
+    embed_list: list[np.ndarray],
+    weight_list: list[float],
+    stop_list: list[float],
+    pad_to: int | None = None,
+):
+    """Stack per-prompt embeddings into fixed-shape (1, P, D) arrays with
+    zero-weight padding (so batches with different prompt counts share
+    one compiled step)."""
+    P = pad_to or max(1, len(embed_list))
+    D = embed_list[0].shape[-1] if embed_list else 1
+    embeds = np.zeros((1, P, D), np.float32)
+    weights = np.zeros((1, P), np.float32)
+    stops = np.full((1, P), -np.inf, np.float32)
+    for i, (e, w, s) in enumerate(zip(embed_list, weight_list, stop_list)):
+        embeds[0, i] = e
+        weights[0, i] = w
+        stops[0, i] = s
+    return embeds, weights, stops

@@ -1,0 +1,152 @@
+"""v1 training CLI — the ``python train.py`` role of the reference
+(``/root/reference/train.py``), with the same hyperparameter defaults
+(TEM_SIZE=512, lr=1e-3, c_dim=128, z_dim=100, Nd=128, 500 epochs,
+batch 32, train.py:31-37) exposed as real flags instead of module
+constants (SURVEY.md §5 'give v1 a real config').
+
+Usage:
+  python train.py --stage 1 --data mem://demo ... (or python -m
+  imagegenerator_tpu.train.cli)
+
+The reference's torch_xla runtime maps as: xmp.spawn per core ->
+jax.sharding.Mesh over all local devices; broadcast_master_param ->
+replicated NamedSharding; DistributedSampler -> per-host dataset shard;
+MpDeviceLoader -> the prefetching DataLoader.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from imagegenerator_tpu.data import CocoCaptions, DataLoader, HashTokenizer, open_store
+from imagegenerator_tpu.models.bert import BertConfig
+from imagegenerator_tpu.train import stage1 as s1
+from imagegenerator_tpu.train import stage2 as s2
+from imagegenerator_tpu.train.trainer import (
+    Stage1Trainer,
+    Stage2Trainer,
+    TrainerOptions,
+)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="StackGAN-style two-stage trainer (TPU)")
+    p.add_argument("--stage", type=int, choices=(1, 2), default=1)
+    # data (reference train.py:117-124 defaults)
+    p.add_argument("--data", type=str, default="gs://data-and-checkpoints-bucket",
+                   help="dataset store url (gs://bucket, local path, mem://)")
+    p.add_argument("--root", type=str, default="dataset/train2017")
+    p.add_argument("--ann_file", type=str,
+                   default="dataset/annotations/captions_train2017.json")
+    # hyperparameters (reference train.py:31-37)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--encoder_lr", type=float, default=5e-5)
+    p.add_argument("--tem_size", type=int, default=512)
+    p.add_argument("--c_dim", type=int, default=128)
+    p.add_argument("--z_dim", type=int, default=100)
+    p.add_argument("--nd", type=int, default=128)
+    p.add_argument("--n_critic", type=int, default=5)
+    p.add_argument("--lambda_gp", type=float, default=10.0)
+    p.add_argument("--seq_len", type=int, default=128)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--kl_mode", choices=("correct", "faithful"), default="correct")
+    p.add_argument("--dtype", choices=("f32", "bf16"), default="bf16")
+    # infra
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    p.add_argument("--stage1_checkpoint", type=str, default=None,
+                   help="stage-2: directory of the stage-1 checkpoint to freeze")
+    p.add_argument("--logdir", type=str, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (CPU smoke runs)")
+    p.add_argument("--bert_vocab", type=int, default=28996)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    devices = np.array(jax.devices())
+    mesh = jax.sharding.Mesh(devices, ("data",)) if len(devices) > 1 else None
+
+    common = dict(
+        tem_size=args.tem_size,
+        c_dim=args.c_dim,
+        z_dim=args.z_dim,
+        nd=args.nd,
+        n_critic=args.n_critic,
+        lambda_gp=args.lambda_gp,
+        kl_mode=args.kl_mode,
+        seq_len=args.seq_len,
+        compute_dtype=dtype,
+        bert=BertConfig(vocab_size=args.bert_vocab),
+    )
+
+    store = open_store(args.data)
+    image_size = 64 if args.stage == 1 else 256
+    host_count = jax.process_count()
+    dataset = CocoCaptions(
+        store,
+        args.root,
+        args.ann_file,
+        image_size=image_size,
+        host_index=jax.process_index(),
+        host_count=host_count,
+    )
+    tokenizer = HashTokenizer(vocab_size=args.bert_vocab, max_length=args.seq_len)
+    global_batch = args.batch_size * len(devices)
+    loader = DataLoader(
+        dataset, tokenizer, batch_size=global_batch, seed=args.seed, mesh=mesh
+    )
+
+    options = TrainerOptions(
+        num_epochs=args.num_epochs,
+        seed=args.seed,
+        checkpoint_dir=f"{args.checkpoint_dir}/Stage{args.stage}",
+        logdir=args.logdir,
+    )
+
+    if args.stage == 1:
+        cfg = (
+            s1.Stage1Config.tiny(n_critic=args.n_critic)
+            if args.tiny
+            else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
+        )
+        system = s1.Stage1System(cfg)
+        trainer = Stage1Trainer(system, loader, options, mesh=mesh)
+        state, start_epoch = trainer.init_state(args.batch_size)
+        trainer.fit(state, start_epoch)
+    else:
+        cfg = (
+            s2.Stage2Config.tiny(n_critic=args.n_critic)
+            if args.tiny
+            else s2.Stage2Config(lr=args.lr, **common)
+        )
+        system = s2.Stage2System(cfg)
+        trainer = Stage2Trainer(system, loader, options, mesh=mesh)
+        stage1_state = None
+        if args.stage1_checkpoint:
+            from imagegenerator_tpu.checkpoint import CheckpointManager
+
+            s1_cfg = (
+                s1.Stage1Config.tiny(n_critic=args.n_critic)
+                if args.tiny
+                else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
+            )
+            s1_sys = s1.Stage1System(s1_cfg)
+            template = s1_sys.init(jax.random.key(0), args.batch_size)
+            stage1_state, _ = CheckpointManager(
+                args.stage1_checkpoint
+            ).restore_latest(template)
+        state, start_epoch = trainer.init_state(args.batch_size, stage1_state)
+        trainer.fit(state, start_epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""End-to-end integration: full stage-1 training epoch via the CLI path
+on synthetic in-memory data (SURVEY.md §4 'integration tests: 1-step
+train on synthetic data with a fake in-memory bucket')."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagegenerator_tpu.data import CocoCaptions, DataLoader, HashTokenizer, open_store
+from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1System
+from imagegenerator_tpu.train.trainer import Stage1Trainer, TrainerOptions
+
+
+def _setup_dataset(store, n_images=4):
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(n_images):
+        name = f"img{i}.png"
+        buf = io.BytesIO()
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(buf, format="PNG")
+        store.write_bytes(f"imgs/{name}", buf.getvalue())
+        images.append({"id": i, "file_name": name})
+        annotations.append({"image_id": i, "caption": f"synthetic caption {i}"})
+    store.write_text(
+        "ann/captions.json", json.dumps({"images": images, "annotations": annotations})
+    )
+
+
+def test_stage1_trainer_epoch(tmp_path):
+    store = open_store("mem://trainer-test")
+    _setup_dataset(store)
+
+    cfg = Stage1Config.tiny(n_critic=1)
+    system = Stage1System(cfg)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=64)
+    tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
+    loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
+
+    options = TrainerOptions(
+        num_epochs=1,
+        save_every_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        seed=7,
+    )
+    trainer = Stage1Trainer(system, loader, options)
+    state, start_epoch = trainer.init_state(batch_size=2)
+    assert start_epoch == 0
+    state = trainer.fit(state, start_epoch)
+    assert int(state.step) == 2  # 4 samples / batch 2
+
+    # resume path: a fresh trainer restores epoch 0's checkpoint
+    trainer2 = Stage1Trainer(system, loader, options)
+    _, start2 = trainer2.init_state(batch_size=2)
+    assert start2 == 1

@@ -48,11 +48,19 @@ def decode_resize_normalize(data: bytes, size: int) -> np.ndarray:
     """JPEG/PNG bytes -> float32 NHWC image in [-1, 1] at (size, size).
 
     Matches ToTensor -> Resize(size) -> Normalize(0.5, 0.5): bilinear
-    resize of the [0,1] image then (x - 0.5) / 0.5.
+    resize of the [0,1] image then (x - 0.5) / 0.5. Uses the native
+    fused resize+normalize kernel (native/host_ops.cpp) when built;
+    falls back to PIL+numpy.
     """
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
+
+    from imagegenerator_tpu.data import native
+
+    if native.available():
+        return native.resize_normalize(np.asarray(img, np.uint8), size)
+
     img = img.resize((size, size), Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return arr * 2.0 - 1.0

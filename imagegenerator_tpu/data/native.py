@@ -1,0 +1,106 @@
+"""ctypes bindings for the native host-ops library (native/host_ops.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to
+the source. All callers degrade gracefully to the numpy/PIL path when a
+toolchain is unavailable, so the framework never hard-depends on the
+native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "host_ops.cpp",
+)
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libhost_ops.so")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(
+        _SRC
+    ):
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is None and not _TRIED:
+            _TRIED = True
+            path = _build()
+            if path is not None:
+                lib = ctypes.CDLL(path)
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                lib.resize_normalize_u8_to_f32.argtypes = [
+                    u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ]
+                lib.batch_resize_normalize_u8_to_f32.argtypes = [
+                    ctypes.POINTER(u8p),
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def resize_normalize(img_u8: np.ndarray, size: int) -> np.ndarray:
+    """uint8 HWC -> float32 (size, size, C) in [-1, 1] (bilinear)."""
+    lib = get_lib()
+    assert lib is not None, "native host_ops unavailable"
+    img_u8 = np.ascontiguousarray(img_u8)
+    h, w, c = img_u8.shape
+    out = np.empty((size, size, c), np.float32)
+    lib.resize_normalize_u8_to_f32(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), size, size,
+    )
+    return out
+
+
+def batch_resize_normalize(
+    imgs_u8: list[np.ndarray], size: int, num_threads: int = 8
+) -> np.ndarray:
+    """List of uint8 HWC images -> one (N, size, size, C) float32 batch."""
+    lib = get_lib()
+    assert lib is not None, "native host_ops unavailable"
+    imgs_u8 = [np.ascontiguousarray(im) for im in imgs_u8]
+    n = len(imgs_u8)
+    c = imgs_u8[0].shape[2]
+    out = np.empty((n, size, size, c), np.float32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8p * n)(*[im.ctypes.data_as(u8p) for im in imgs_u8])
+    shs = (ctypes.c_int * n)(*[im.shape[0] for im in imgs_u8])
+    sws = (ctypes.c_int * n)(*[im.shape[1] for im in imgs_u8])
+    lib.batch_resize_normalize_u8_to_f32(
+        ptrs, shs, sws, c, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, size, num_threads,
+    )
+    return out

@@ -19,11 +19,30 @@ import jax.numpy as jnp
 from imagegenerator_tpu.ops.grad_utils import replace_grad
 
 
-def nearest_codebook_indices(x: jax.Array, codebook: jax.Array) -> jax.Array:
+def nearest_codebook_indices(
+    x: jax.Array, codebook: jax.Array, *, use_pallas: bool | None = None
+) -> jax.Array:
     """argmin_j ||x_i - c_j||^2 over the last axis of ``x``.
 
     x: (..., d), codebook: (n, d) -> indices (...,) int32.
+
+    On TPU with lane-aligned embedding dims this dispatches to the
+    fused Pallas kernel (``ops/pallas/vq_kernel.py``) that never
+    materializes the (N, n) distance matrix in HBM; set
+    ``use_pallas=False`` to force the XLA path.
     """
+    from imagegenerator_tpu.ops.pallas import vq_kernel
+
+    d_dim = x.shape[-1]
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and vq_kernel.supported(d_dim)
+        )
+    if use_pallas:
+        flat = x.reshape(-1, d_dim)
+        idx = vq_kernel.nearest_codebook_indices_pallas(flat, codebook)
+        return idx.reshape(x.shape[:-1])
+
     x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # (..., 1)
     c2 = jnp.sum(jnp.square(codebook), axis=-1)  # (n,)
     xc = jnp.einsum(

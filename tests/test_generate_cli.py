@@ -1,0 +1,49 @@
+"""v2 generate CLI end-to-end (tiny fallback models): runs N iterations,
+writes a PNG with the prompt embedded as a comment text chunk."""
+
+import numpy as np
+from PIL import Image
+
+from imagegenerator_tpu.v2.generate import main
+
+
+def test_generate_cli_end_to_end(tmp_path, capsys):
+    out = tmp_path / "out.png"
+    main(
+        [
+            "-p", "a tiny test prompt:1|negative thing:-0.5",
+            "-i", "2",
+            "-se", "1",
+            "-s", "32", "32",
+            "-sd", "123",
+            "-o", str(out),
+            "-conf", str(tmp_path / "missing.yaml"),
+            "-ckpt", str(tmp_path / "missing.ckpt"),
+        ]
+    )
+    captured = capsys.readouterr()
+    assert "Using seed: 123" in captured.out
+    assert "i: 0, loss:" in captured.out
+
+    img = Image.open(out)
+    assert img.size == (32, 32)
+    assert "a tiny test prompt" in img.info.get("comment", "")
+    arr = np.asarray(img)
+    assert arr.shape == (32, 32, 3)
+
+
+def test_generate_cli_init_noise(tmp_path):
+    out = tmp_path / "out2.png"
+    main(
+        [
+            "-p", "gradient init",
+            "-i", "1",
+            "-s", "32", "32",
+            "-sd", "7",
+            "-in", "gradient",
+            "-o", str(out),
+            "-conf", "/nonexistent.yaml",
+            "-ckpt", "/nonexistent.ckpt",
+        ]
+    )
+    assert out.exists()

@@ -11,7 +11,10 @@ recorded measurement — the reference publishes no numbers, see
 BASELINE.md); 1.0 when no record exists yet.
 
 Env knobs:
-  BENCH_BATCH  (default 32)   per-chip batch size
+  BENCH_TARGET (default stage2) stage2 | v2 (VQGAN-CLIP latent-opt
+               steps/sec on full-size f16-16384 VQGAN + ViT-B/32,
+               reference defaults: 128px, 32 cutouts)
+  BENCH_BATCH  (default 32)   per-chip batch size (stage2)
   BENCH_STEPS  (default 8)    timed steps
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
 """
@@ -24,7 +27,102 @@ import jax
 import jax.numpy as jnp
 
 
+def _fence(tree):
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(np.asarray(jnp.ravel(leaf)[0]))
+
+
+def _emit(metric, value, unit):
+    vs_baseline = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+        if base.get("metric") == metric and base.get("value"):
+            vs_baseline = value / float(base["value"])
+    except (OSError, ValueError):
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+def bench_v2():
+    """VQGAN-CLIP latent-opt steps/sec: full-size f16-16384 VQGAN +
+    ViT-B/32 (random-init weights — same FLOPs as published ckpts),
+    128x128 image, 32 cutouts, Adam on z: the reference's default
+    workload (arg_parser.py defaults), one fused XLA step."""
+    import numpy as np
+
+    from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
+    from imagegenerator_tpu.v2.engine import GenerateEngine
+    from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
+
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
+
+    vq_cfg = VQGANConfig.imagenet_f16_16384()
+    clip_cfg = CLIPConfig.vit_b32()
+    vq_params = VQModel(vq_cfg).init(
+        jax.random.key(0), jnp.zeros((1, 256, 256, 3))
+    )["params"]
+    clip_params = CLIP(clip_cfg).init(
+        jax.random.key(1),
+        jnp.zeros((1, 224, 224, 3)),
+        jnp.zeros((1, 77), jnp.int32),
+    )["params"]
+
+    engine = GenerateEngine(
+        vqgan_config=vq_cfg,
+        clip_config=clip_cfg,
+        vqgan_params=vq_params,
+        clip_params=clip_params,
+        cutn=32,
+        step_size=0.1,
+        compute_dtype=dtype,
+    )
+    h = w = 128 // vq_cfg.f
+    z = engine.random_token_latent(jax.random.key(2), batch, h, w)
+    state = engine.init_state(z)
+    embeds = jnp.zeros((batch, 1, clip_cfg.embed_dim))
+    weights = jnp.ones((batch, 1))
+    stops = jnp.full((batch, 1), -np.inf)
+
+    state, losses = engine.step(state, jax.random.key(3), embeds, weights, stops)
+    _fence(losses)
+
+    def timed(n, state):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, losses = engine.step(
+                state, jax.random.fold_in(jax.random.key(4), i), embeds, weights, stops
+            )
+        _fence(losses)
+        return time.perf_counter() - t0, state
+
+    d1, state = timed(steps, state)
+    d2, state = timed(2 * steps, state)
+    per_step = max((d2 - d1) / steps, 1e-9)
+    _emit("vqgan_clip_latent_opt_steps_per_sec", batch / per_step, "steps/sec")
+
+
 def main():
+    if os.environ.get("BENCH_TARGET", "stage2") == "v2":
+        bench_v2()
+        return
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     dtype = (
@@ -80,26 +178,10 @@ def main():
     d2, state = timed(2 * steps, state)
     per_step = max((d2 - d1) / steps, 1e-9)
 
-    images_per_sec = batch / per_step
-
-    vs_baseline = 1.0
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
-            base = json.load(f)
-        if base.get("value"):
-            vs_baseline = images_per_sec / float(base["value"])
-    except (OSError, ValueError):
-        pass
-
-    print(
-        json.dumps(
-            {
-                "metric": "stage2_256px_train_images_per_sec_per_chip",
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
+    _emit(
+        "stage2_256px_train_images_per_sec_per_chip",
+        batch / per_step,
+        "images/sec/chip",
     )
 
 

@@ -1,0 +1,94 @@
+"""Regenerate the fixed-seed golden outputs (tests/goldens/*.npz).
+
+Run from the repo root on the CPU backend:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tests/make_goldens.py
+The goldens pin the PRNG-determinism contract (BASELINE.json:
+'bit-comparable samples at fixed seed'): any change to model math,
+init, or key-threading shows up as a golden mismatch.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def stage1_golden():
+    from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1System, make_train_step
+
+    system = Stage1System(Stage1Config.tiny(n_critic=2))
+    state = system.init(jax.random.key(0), 4)
+    kt, ki = jax.random.split(jax.random.key(1))
+    batch = {
+        "input_ids": jax.random.randint(kt, (4, system.config.seq_len), 0, 128),
+        "attention_mask": jnp.ones((4, system.config.seq_len), jnp.int32),
+        "image": jax.random.uniform(ki, (4, 64, 64, 3), minval=-1, maxval=1),
+    }
+    step = make_train_step(system, donate=False)
+    _, metrics = step(state, batch, jax.random.key(2))
+    return {k: np.asarray(v) for k, v in metrics.items()}
+
+
+def v2_golden():
+    from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
+    from imagegenerator_tpu.v2.engine import GenerateEngine
+    from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
+
+    vq_cfg, clip_cfg = VQGANConfig.tiny(), CLIPConfig.tiny()
+    vq_params = VQModel(vq_cfg).init(
+        jax.random.key(0), jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3))
+    )["params"]
+    clip_params = CLIP(clip_cfg).init(
+        jax.random.key(1),
+        jnp.zeros((1, clip_cfg.image_resolution, clip_cfg.image_resolution, 3)),
+        jnp.zeros((1, clip_cfg.context_length), jnp.int32),
+    )["params"]
+    engine = GenerateEngine(
+        vqgan_config=vq_cfg, clip_config=clip_cfg,
+        vqgan_params=vq_params, clip_params=clip_params,
+        cutn=4, step_size=0.1,
+    )
+    z = engine.random_token_latent(jax.random.key(2), 1, 2, 2)
+    state = engine.init_state(z)
+    embeds = jnp.ones((1, 1, clip_cfg.embed_dim)) * 0.1
+    w = jnp.ones((1, 1))
+    s = jnp.full((1, 1), -np.inf)
+    for i in range(2):
+        state, losses = engine.step(
+            state, jax.random.fold_in(jax.random.key(3), i), embeds, w, s
+        )
+    return {"z": np.asarray(state.z), "losses": np.asarray(losses)}
+
+
+def models_golden():
+    from imagegenerator_tpu.models import StageIGenerator
+
+    g = StageIGenerator(c_dim=16, z_dim=12)
+    x = jax.random.normal(jax.random.key(4), (2, 28))
+    variables = g.init(jax.random.key(5), x, train=False)
+    out = g.apply(variables, x, train=False)
+    return {"g1_out": np.asarray(out)}
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    np.savez(os.path.join(GOLDEN_DIR, "stage1_step.npz"), **stage1_golden())
+    np.savez(os.path.join(GOLDEN_DIR, "v2_engine.npz"), **v2_golden())
+    np.savez(os.path.join(GOLDEN_DIR, "models.npz"), **models_golden())
+    print("goldens written to", GOLDEN_DIR)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,11 @@ def convert_vqgan_params(sd: dict, config: VQGANConfig) -> dict:
 def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
     """Infer the architecture from an OpenAI CLIP state_dict (the same
     derivation clip.build_model does)."""
+    if not any(k.startswith("visual.transformer.") for k in sd):
+        raise ValueError(
+            "only ViT CLIP checkpoints are supported (ViT-B/32, ViT-B/16, "
+            "ViT-L/14); this state_dict looks like a ResNet tower"
+        )
     vision_width = sd["visual.conv1.weight"].shape[0]
     patch_size = sd["visual.conv1.weight"].shape[-1]
     grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))

@@ -63,7 +63,13 @@ class Stage1Config:
     # (stage_1_train_fn.py:156-159). See SURVEY.md §2.
     kl_mode: str = "correct"
     # Reference runs the text encoder in train mode => dropout active.
+    # With dropout OFF the matched/mismatched text forward is
+    # loop-invariant across the critic iterations and is hoisted out of
+    # the scan (exact semantics, ~n_critic x fewer encoder forwards).
     text_dropout: bool = True
+    # Rematerialize generator/critic forwards in the loss functions to
+    # trade FLOPs for activation memory (larger per-chip batches).
+    remat: bool = False
     seq_len: int = 128
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for TPU throughput
@@ -191,14 +197,20 @@ class Stage1System:
 
     def _critic_apply(self, critic_params, critic_stats, img, tem):
         """One critic forward in train mode; returns (scores, new_stats)."""
-        scores, mut = self.critic.apply(
-            {"params": critic_params, "batch_stats": critic_stats},
-            img,
-            tem,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        return scores.reshape(-1).astype(jnp.float32), mut["batch_stats"]
+
+        def fwd(cp, cs, im, t):
+            scores, mut = self.critic.apply(
+                {"params": cp, "batch_stats": cs},
+                im,
+                t,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return scores.reshape(-1).astype(jnp.float32), mut["batch_stats"]
+
+        if self.config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(critic_params, critic_stats, img, tem)
 
     # ------------------------------------------------------------------
     def train_step(
@@ -248,12 +260,22 @@ class Stage1System:
             )
             return tem_2b[:bsz], tem_2b[bsz:]
 
+        # Without dropout the encoder is deterministic, so the text
+        # embeddings are identical in every critic iteration — hoist the
+        # forward out of the scan (exact, reference-equivalent).
+        hoisted_tems = None
+        if not c.text_dropout:
+            hoisted_tems = text_fwd_both(state.params, None)
+
         # ---------------- critic inner loop (lax.scan) ----------------
         def critic_iter(carry, it_key):
             critic_params, critic_opt, gen_stats, critic_stats = carry
             k_drop, k_ca, k_z, k_gp = jax.random.split(it_key, 4)
 
-            tem, tem_mis = text_fwd_both(state.params, k_drop)
+            if hoisted_tems is not None:
+                tem, tem_mis = hoisted_tems
+            else:
+                tem, tem_mis = text_fwd_both(state.params, k_drop)
             fake, _mu, _sigma, gen_stats = self._gen_forward(
                 state.params, gen_stats, tem, k_ca, k_z, bsz
             )

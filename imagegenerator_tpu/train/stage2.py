@@ -62,6 +62,8 @@ class Stage2Config:
     kl_mode: str = "correct"
     seq_len: int = 128
     num_residual: int = 4
+    # Rematerialize critic forwards (FLOPs for activation memory).
+    remat: bool = False
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     compute_dtype: Any = None
 
@@ -219,14 +221,19 @@ class Stage2System:
         return fake_256, mu2, sigma2, mut["batch_stats"]
 
     def _critic_apply(self, critic_params, critic_stats, img, tem):
-        scores, mut = self.critic_2.apply(
-            {"params": critic_params, "batch_stats": critic_stats},
-            img,
-            tem,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        return scores.reshape(-1).astype(jnp.float32), mut["batch_stats"]
+        def fwd(cp, cs, im, t):
+            scores, mut = self.critic_2.apply(
+                {"params": cp, "batch_stats": cs},
+                im,
+                t,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return scores.reshape(-1).astype(jnp.float32), mut["batch_stats"]
+
+        if self.config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(critic_params, critic_stats, img, tem)
 
     # ------------------------------------------------------------------
     def train_step(

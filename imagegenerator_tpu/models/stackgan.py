@@ -67,7 +67,9 @@ class StageIGenerator(nn.Module):
 
 class _TextImageCriticHead(nn.Module):
     """Shared critic head: compress text -> Nd, replicate over the 4x4
-    feature map, concat, 1x1 conv, flatten, scalar score."""
+    feature map, concat, 1x1 conv, flatten, scalar score. Stateless (no
+    BN), so one image-tower output can be scored against several text
+    embeddings — the fused matched/mismatched formulation."""
 
     nd: int
     resize_ch: int
@@ -94,15 +96,24 @@ class StageIDiscriminator(nn.Module):
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, img, tem, train: bool = True):
+    def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = Conv2d(64, 4, 2, 1, **kw)(img)
-        x = jax.nn.leaky_relu(x, 0.1)
-        x = DownBlock(128, **kw)(x, train)
-        x = DownBlock(256, **kw)(x, train)
-        x = DownBlock(512, **kw)(x, train)  # (B, 4, 4, 512)
-        return _TextImageCriticHead(self.nd, 128, **kw)(x, tem)
+        self.conv_in = Conv2d(64, 4, 2, 1, **kw)
+        self.down_blocks = [DownBlock(f, **kw) for f in (128, 256, 512)]
+        self.head = _TextImageCriticHead(self.nd, 128, **kw)
+
+    def features(self, img, train: bool = True):
+        """Image tower: 64px -> (B, 4, 4, 512)."""
+        x = jax.nn.leaky_relu(self.conv_in(img), 0.1)
+        for block in self.down_blocks:
+            x = block(x, train)
+        return x
+
+    def score(self, feat, tem):
+        return self.head(feat, tem)
+
+    def __call__(self, img, tem, train: bool = True):
+        return self.score(self.features(img, train), tem)
 
 
 class ResidualBlock(nn.Module):
@@ -162,11 +173,23 @@ class StageIIDiscriminator(nn.Module):
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, img, tem, train: bool = True):
+    def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = Conv2d(16, 4, 2, 1, **kw)(img)
-        x = jax.nn.leaky_relu(x, 0.1)
-        for feat in (32, 64, 128, 256, 512):
-            x = DownBlock(feat, **kw)(x, train)  # -> (B, 4, 4, 512)
-        return _TextImageCriticHead(self.nd, 160, **kw)(x, tem)
+        self.conv_in = Conv2d(16, 4, 2, 1, **kw)
+        self.down_blocks = [
+            DownBlock(f, **kw) for f in (32, 64, 128, 256, 512)
+        ]
+        self.head = _TextImageCriticHead(self.nd, 160, **kw)
+
+    def features(self, img, train: bool = True):
+        """Image tower: 256px -> (B, 4, 4, 512)."""
+        x = jax.nn.leaky_relu(self.conv_in(img), 0.1)
+        for block in self.down_blocks:
+            x = block(x, train)
+        return x
+
+    def score(self, feat, tem):
+        return self.head(feat, tem)
+
+    def __call__(self, img, tem, train: bool = True):
+        return self.score(self.features(img, train), tem)

@@ -60,3 +60,23 @@ def gradient_penalty(critic_score_fn, real: jax.Array, fake: jax.Array, key) -> 
     grads = jax.grad(score_sum)(interp)
     norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1) + 1e-12)
     return jnp.mean(jnp.square(norms - 1.0))
+
+
+def gradient_penalty_aux(critic_fn, real: jax.Array, fake: jax.Array, key):
+    """Like ``gradient_penalty`` but ``critic_fn(images) -> (scores,
+    aux)``; returns (gp, aux). The aux (e.g. the BatchNorm stats update
+    from the interpolated-batch forward, which torch's train-mode GP
+    forward performs — utils.py:14) comes from the SAME forward that the
+    input-gradient is taken through, so no extra critic pass is needed.
+    """
+    b = real.shape[0]
+    eps = jax.random.uniform(key, (b, 1, 1, 1), dtype=real.dtype)
+    interp = real * eps + fake * (1.0 - eps)
+
+    def score_sum(images):
+        scores, aux = critic_fn(images)
+        return jnp.sum(scores), aux
+
+    grads, aux = jax.grad(score_sum, has_aux=True)(interp)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0)), aux

@@ -212,6 +212,35 @@ class Stage1System:
             fwd = jax.checkpoint(fwd)
         return fwd(critic_params, critic_stats, img, tem)
 
+    def _critic_tower(self, critic_params, critic_stats, img):
+        """Image tower only (train-mode BN). The head is stateless, so one
+        tower pass can be scored against several text embeddings — the
+        reference computes tower(real) twice, once per text condition
+        (stage_1_train_fn.py:125-132); outputs are identical either way."""
+
+        def fwd(cp, cs, im):
+            feat, mut = self.critic.apply(
+                {"params": cp, "batch_stats": cs},
+                im,
+                train=True,
+                method=StageIDiscriminator.features,
+                mutable=["batch_stats"],
+            )
+            return feat, mut["batch_stats"]
+
+        if self.config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(critic_params, critic_stats, img)
+
+    def _critic_head(self, critic_params, feat, tem):
+        scores = self.critic.apply(
+            {"params": critic_params},
+            feat,
+            tem,
+            method=StageIDiscriminator.score,
+        )
+        return scores.reshape(-1).astype(jnp.float32)
+
     # ------------------------------------------------------------------
     def train_step(
         self,
@@ -283,27 +312,27 @@ class Stage1System:
             tem_sg = jax.lax.stop_gradient(tem)
             tem_mis_sg = jax.lax.stop_gradient(tem_mis)
 
-            # Three separate train-mode critic forwards, stats threaded in
-            # reference order: real, mismatched, fake, then the GP forward
-            # (stage_1_train_fn.py:125-144 + utils.py:14).
+            # Fused critic forwards: tower(real) once scores both the
+            # matched and mismatched conditions (stateless head), and the
+            # GP forward's BN-stats update rides the input-gradient pass
+            # via has_aux — score-identical to the reference's four
+            # separate train-mode forwards (stage_1_train_fn.py:125-144).
             def loss_fn(cp):
-                s_real, st1 = self._critic_apply(cp, critic_stats, real, tem_sg)
-                s_mis, st2 = self._critic_apply(cp, st1, real, tem_mis_sg)
-                s_fake, st3 = self._critic_apply(cp, st2, fake, tem_sg)
+                feat_real, st1 = self._critic_tower(cp, critic_stats, real)
+                feat_fake, st2 = self._critic_tower(cp, st1, fake)
+                s_real = self._critic_head(cp, feat_real, tem_sg)
+                s_mis = self._critic_head(cp, feat_real, tem_mis_sg)
+                s_fake = self._critic_head(cp, feat_fake, tem_sg)
 
-                def score_fn(images):
-                    s, _ = self._critic_apply(cp, st3, images, tem_sg)
-                    return s
+                def gp_critic(images):
+                    feat, st = self._critic_tower(cp, st2, images)
+                    return self._critic_head(cp, feat, tem_sg), st
 
-                gp = losses.gradient_penalty(score_fn, real, fake, k_gp)
-                # stats update from the GP forward (torch train-mode fwd)
-                eps = jax.random.uniform(k_gp, (bsz, 1, 1, 1), real.dtype)
-                interp = real * eps + fake * (1.0 - eps)
-                _, st4 = self._critic_apply(cp, st3, interp, tem_sg)
+                gp, st3 = losses.gradient_penalty_aux(gp_critic, real, fake, k_gp)
 
                 neg = jnp.concatenate([s_mis, s_fake], axis=0)
                 loss = losses.wgan_critic_loss(s_real, neg) + c.lambda_gp * gp
-                return loss, (st4, gp)
+                return loss, (st3, gp)
 
             (loss_d, (critic_stats, gp)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

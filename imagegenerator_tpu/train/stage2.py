@@ -235,6 +235,33 @@ class Stage2System:
             fwd = jax.checkpoint(fwd)
         return fwd(critic_params, critic_stats, img, tem)
 
+    def _critic_tower(self, critic_params, critic_stats, img):
+        """Image tower only — see stage1._critic_tower for the fusion
+        rationale (score-identical to separate forwards)."""
+
+        def fwd(cp, cs, im):
+            feat, mut = self.critic_2.apply(
+                {"params": cp, "batch_stats": cs},
+                im,
+                train=True,
+                method=StageIIDiscriminator.features,
+                mutable=["batch_stats"],
+            )
+            return feat, mut["batch_stats"]
+
+        if self.config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(critic_params, critic_stats, img)
+
+    def _critic_head(self, critic_params, feat, tem):
+        scores = self.critic_2.apply(
+            {"params": critic_params},
+            feat,
+            tem,
+            method=StageIIDiscriminator.score,
+        )
+        return scores.reshape(-1).astype(jnp.float32)
+
     # ------------------------------------------------------------------
     def train_step(
         self,
@@ -309,22 +336,23 @@ class Stage2System:
             fake_256 = jax.lax.stop_gradient(fake_256)
 
             def loss_fn(cp):
-                s_real, st1 = self._critic_apply(cp, critic_stats, real, tem)
-                s_mis, st2 = self._critic_apply(cp, st1, real, tem_mis)
-                s_fake, st3 = self._critic_apply(cp, st2, fake_256, tem)
+                feat_real, st1 = self._critic_tower(cp, critic_stats, real)
+                feat_fake, st2 = self._critic_tower(cp, st1, fake_256)
+                s_real = self._critic_head(cp, feat_real, tem)
+                s_mis = self._critic_head(cp, feat_real, tem_mis)
+                s_fake = self._critic_head(cp, feat_fake, tem)
 
-                def score_fn(images):
-                    s, _ = self._critic_apply(cp, st3, images, tem)
-                    return s
+                def gp_critic(images):
+                    feat, st = self._critic_tower(cp, st2, images)
+                    return self._critic_head(cp, feat, tem), st
 
-                gp = losses.gradient_penalty(score_fn, real, fake_256, k_gp)
-                eps = jax.random.uniform(k_gp, (bsz, 1, 1, 1), real.dtype)
-                interp = real * eps + fake_256 * (1.0 - eps)
-                _, st4 = self._critic_apply(cp, st3, interp, tem)
+                gp, st3 = losses.gradient_penalty_aux(
+                    gp_critic, real, fake_256, k_gp
+                )
 
                 neg = jnp.concatenate([s_mis, s_fake], axis=0)
                 loss = losses.wgan_critic_loss(s_real, neg) + c.lambda_gp * gp
-                return loss, (st4, gp)
+                return loss, (st3, gp)
 
             (loss_d, (critic_stats, gp)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

@@ -47,4 +47,9 @@ def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
     p.add_argument("--clip_checkpoint", type=str, default=None,
                    dest="clip_checkpoint",
                    help="Path to an OpenAI CLIP .pt checkpoint")
+    p.add_argument("--prompts_file", type=str, default=None,
+                   dest="prompts_file",
+                   help="File with one prompt set per line; generates one "
+                        "image per line, batched and sharded across devices "
+                        "(outputs <stem>_<i>.png)")
     return p

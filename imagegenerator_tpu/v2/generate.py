@@ -97,10 +97,22 @@ def main(argv=None):
     if args.cuda_device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    prompts = []
-    if args.prompts:
-        prompts = [p for p in args.prompts.strip().split("|")]
+    # prompt SETS: one image per set. Single -p "a|b" = one image with
+    # two prompts (the reference contract); --prompts_file = one set per
+    # line, batched over devices (BASELINE.json config 5).
+    prompt_sets: list[list[str]] = []
+    if args.prompts_file:
+        with open(args.prompts_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    prompt_sets.append(line.split("|"))
+    elif args.prompts:
+        prompt_sets.append(args.prompts.strip().split("|"))
+    else:
+        prompt_sets.append([])
 
+    batch = len(prompt_sets)
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
     print("Using seed:", seed)
     key = jax.random.key(seed)
@@ -127,40 +139,62 @@ def main(argv=None):
         img_fn = random_noise_image if args.init_noise == "random" else (
             random_gradient_image
         )
-        img01 = img_fn(side_x, side_y, rng)
-        z = engine.encode_image_to_latent(
-            jnp.asarray(img01 * 2.0 - 1.0)[None]
-        )
+        imgs01 = np.stack([img_fn(side_x, side_y, rng) for _ in range(batch)])
+        z = engine.encode_image_to_latent(jnp.asarray(imgs01 * 2.0 - 1.0))
     else:
-        z = engine.random_token_latent(k_init, 1, toks_y, toks_x)
-    state = engine.init_state(z)
+        z = engine.random_token_latent(k_init, batch, toks_y, toks_x)
 
-    # per-prompt CLIP text embeddings
+    # per-prompt CLIP text embeddings, padded to a common P across sets
     tokenizer = open_tokenizer(
         args.bpe_vocab, clip_cfg.context_length, clip_cfg.vocab_size
     )
-    embed_list, weights, stops = [], [], []
-    for prompt in prompts:
-        txt, w, s = split_prompt(prompt)
-        tokens = tokenizer([txt])
-        embed_list.append(np.asarray(engine.encode_text(tokens))[0])
-        weights.append(w)
-        stops.append(s)
-    embeds, w_arr, s_arr = pad_prompt_specs(embed_list, weights, stops)
+    p_max = max(1, max(len(s) for s in prompt_sets))
+    rows = []
+    for prompts in prompt_sets:
+        embed_list, weights, stops = [], [], []
+        for prompt in prompts:
+            txt, w, s = split_prompt(prompt)
+            tokens = tokenizer([txt])
+            embed_list.append(np.asarray(engine.encode_text(tokens))[0])
+            weights.append(w)
+            stops.append(s)
+        rows.append(pad_prompt_specs(embed_list, weights, stops, pad_to=p_max))
+    embeds = jnp.asarray(np.concatenate([r[0] for r in rows]))
+    w_arr = jnp.asarray(np.concatenate([r[1] for r in rows]))
+    s_arr = jnp.asarray(np.concatenate([r[2] for r in rows]))
+
+    # shard the generation batch data-parallel when it divides the mesh
+    devices = jax.devices()
+    if batch > 1 and len(devices) > 1 and batch % len(devices) == 0:
+        from imagegenerator_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(len(devices))
+        z = shard_batch(z, mesh)
+        embeds = shard_batch(embeds, mesh)
+        w_arr, s_arr = shard_batch(w_arr, mesh), shard_batch(s_arr, mesh)
+
+    state = engine.init_state(z)
+
+    stem, ext = os.path.splitext(args.output)
+
+    def out_path(i: int) -> str:
+        return args.output if batch == 1 else f"{stem}_{i}{ext or '.png'}"
 
     def checkin(i, imgs, losses):
-        per_prompt = losses[0, : max(1, len(prompts))]
-        loss_str = ", ".join(f"{v:g}" for v in per_prompt)
-        print(f"i: {i}, loss: {per_prompt.sum():g}, losses: {loss_str}")
-        save_png(args.output, imgs[0], f"{prompts}")
+        for b, prompts in enumerate(prompt_sets):
+            per_prompt = losses[b, : max(1, len(prompts))]
+            loss_str = ", ".join(f"{v:g}" for v in per_prompt)
+            prefix = f"[{b}] " if batch > 1 else ""
+            print(f"{prefix}i: {i}, loss: {per_prompt.sum():g}, losses: {loss_str}")
+            save_png(out_path(b), imgs[b], f"{prompts}")
 
     try:
         engine.run(
             state,
             k_run,
-            jnp.asarray(embeds),
-            jnp.asarray(w_arr),
-            jnp.asarray(s_arr),
+            embeds,
+            w_arr,
+            s_arr,
             iterations=args.max_iterations,
             display_freq=args.display_freq,
             checkin=checkin,

@@ -47,3 +47,22 @@ def test_generate_cli_init_noise(tmp_path):
         ]
     )
     assert out.exists()
+
+
+def test_generate_cli_prompts_file(tmp_path):
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("a red thing\na blue thing|not green:-0.3\n")
+    out = tmp_path / "batch.png"
+    main(
+        [
+            "--prompts_file", str(pf),
+            "-i", "1",
+            "-s", "32", "32",
+            "-sd", "11",
+            "-o", str(out),
+            "-conf", "/nonexistent.yaml",
+            "-ckpt", "/nonexistent.ckpt",
+        ]
+    )
+    assert (tmp_path / "batch_0.png").exists()
+    assert (tmp_path / "batch_1.png").exists()

@@ -70,6 +70,10 @@ class Stage1Config:
     # Rematerialize generator/critic forwards in the loss functions to
     # trade FLOPs for activation memory (larger per-chip batches).
     remat: bool = False
+    # lax.scan unroll factor for the critic inner loop. Unrolling lets
+    # XLA overlap iteration i+1's generator forward (independent of the
+    # critic params) with iteration i's critic backward.
+    unroll_critic: int = 1
     seq_len: int = 128
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for TPU throughput
@@ -354,7 +358,7 @@ class Stage1System:
             state.batch_stats["critic"],
         )
         (critic_params, critic_opt, gen_stats, critic_stats), (d_losses, gps) = (
-            jax.lax.scan(critic_iter, carry0, iter_keys)
+            jax.lax.scan(critic_iter, carry0, iter_keys, unroll=c.unroll_critic)
         )
 
         # ---------------- generator-side update ----------------

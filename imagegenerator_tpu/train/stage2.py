@@ -64,6 +64,8 @@ class Stage2Config:
     num_residual: int = 4
     # Rematerialize critic forwards (FLOPs for activation memory).
     remat: bool = False
+    # lax.scan unroll factor for the critic inner loop (see stage1).
+    unroll_critic: int = 1
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     compute_dtype: Any = None
 
@@ -371,7 +373,7 @@ class Stage2System:
             state.batch_stats["critic"],
         )
         (critic_params, critic_opt, gen_stats, critic_stats), (d_losses, gps) = (
-            jax.lax.scan(critic_iter, carry0, iter_keys)
+            jax.lax.scan(critic_iter, carry0, iter_keys, unroll=c.unroll_critic)
         )
 
         # ---------------- generator-side update (G2 + CA2) ----------------

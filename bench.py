@@ -14,7 +14,7 @@ Env knobs:
   BENCH_TARGET (default stage2) stage2 | v2 (VQGAN-CLIP latent-opt
                steps/sec on full-size f16-16384 VQGAN + ViT-B/32,
                reference defaults: 128px, 32 cutouts)
-  BENCH_BATCH  (default 32)   per-chip batch size (stage2)
+  BENCH_BATCH  (default 128) per-chip batch size (stage2; 128 = measured best)
   BENCH_STEPS  (default 8)    timed steps
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
 """
@@ -123,11 +123,11 @@ def main():
     if os.environ.get("BENCH_TARGET", "stage2") == "v2":
         bench_v2()
         return
-    # Batch 64 is the measured best single-chip operating point (batch 32
-    # = the reference's per-replica config runs ~20% slower — the 256px
+    # Batch 128 is the measured best single-chip operating point (batch 32
+    # = the reference per-replica config runs ~38% slower - the 256px
     # convs need the larger batch to fill the MXU); critic-loop unroll
     # lets XLA overlap G2 forwards with critic backwards.
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     unroll = int(os.environ.get("BENCH_UNROLL", "5"))
     dtype = (

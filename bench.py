@@ -119,9 +119,60 @@ def bench_v2():
     _emit("vqgan_clip_latent_opt_steps_per_sec", batch / per_step, "steps/sec")
 
 
+def bench_stage1():
+    """Stage-I 64px train step (BASELINE.json configs 1-2): full text
+    encoder fine-tuning inside the GAN step, n_critic=5, images/sec/chip."""
+    from imagegenerator_tpu.train.stage1 import (
+        Stage1Config,
+        Stage1System,
+        make_train_step,
+    )
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "5"))
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
+    cfg = Stage1Config(compute_dtype=dtype, unroll_critic=unroll)
+    system = Stage1System(cfg)
+    state = system.init(jax.random.key(0), batch)
+    kt, ki = jax.random.split(jax.random.key(1))
+    data = {
+        "input_ids": jax.random.randint(
+            kt, (batch, cfg.seq_len), 0, cfg.bert.vocab_size
+        ),
+        "attention_mask": jnp.ones((batch, cfg.seq_len), jnp.int32),
+        "image": jax.random.uniform(
+            ki, (batch, 64, 64, 3), jnp.float32, minval=-1, maxval=1
+        ),
+    }
+    step = make_train_step(system, donate=True)
+    state, metrics = step(state, data, jax.random.key(2))
+    _fence(metrics)
+
+    def timed(n, state):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, data, jax.random.fold_in(jax.random.key(3), i))
+        _fence(metrics)
+        return time.perf_counter() - t0, state
+
+    d1, state = timed(steps, state)
+    d2, state = timed(2 * steps, state)
+    per_step = max((d2 - d1) / steps, 1e-9)
+    _emit("stage1_64px_train_images_per_sec_per_chip", batch / per_step, "images/sec/chip")
+
+
 def main():
-    if os.environ.get("BENCH_TARGET", "stage2") == "v2":
+    target = os.environ.get("BENCH_TARGET", "stage2")
+    if target == "v2":
         bench_v2()
+        return
+    if target == "stage1":
+        bench_stage1()
         return
     # Batch 128 is the measured best single-chip operating point (batch 32
     # = the reference per-replica config runs ~38% slower - the 256px

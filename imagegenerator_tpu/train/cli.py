@@ -64,11 +64,16 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
     p.add_argument("--bert_vocab", type=int, default=28996)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host "
+                        "pods; the reference's PJRT process-group role)")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

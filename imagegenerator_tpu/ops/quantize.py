@@ -33,6 +33,12 @@ def nearest_codebook_indices(
     """
     from imagegenerator_tpu.ops.pallas import vq_kernel
 
+    # argmin indices carry no gradient; stop_gradient keeps autodiff from
+    # trying to JVP through the pallas_call (straight-through handling
+    # lives in vector_quantize's replace_grad).
+    x = jax.lax.stop_gradient(x)
+    codebook = jax.lax.stop_gradient(codebook)
+
     d_dim = x.shape[-1]
     if use_pallas is None:
         use_pallas = (

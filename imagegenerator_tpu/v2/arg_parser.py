@@ -15,32 +15,32 @@ def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
     p.add_argument("-p", "--prompts", type=str, default=None, dest="prompts",
                    help="Text prompts (| separated; each 'text:weight:stop')")
     p.add_argument("-i", "--iterations", type=int, default=200,
-                   dest="max_iterations", help="Number of iterations")
+                   dest="max_iterations", help="Optimization iterations to run")
     p.add_argument("-se", "--save_every", type=int, default=20,
-                   dest="display_freq", help="Save image iterations")
+                   dest="display_freq", help="Checkin/save interval (iterations)")
     p.add_argument("-s", "--size", nargs=2, type=int,
                    default=[default_image_size, default_image_size],
-                   dest="size", help="Image size, width height")
+                   dest="size", help="Output image width and height (pixels)")
     p.add_argument("-m", "--clip_model", type=str, default="ViT-B/32",
-                   dest="clip_model", help="CLIP model")
+                   dest="clip_model", help="CLIP model variant (ViT-B/32, ViT-B/16, ViT-L/14)")
     p.add_argument("-conf", "--vqgan_config", type=str,
                    default="checkpoints/vqgan_imagenet_f16_16384.yaml",
-                   dest="vqgan_config", help="VQGAN configuration")
+                   dest="vqgan_config", help="Path to the VQGAN yaml config")
     p.add_argument("-ckpt", "--vqgan_checkpoint", type=str,
                    default="checkpoints/vqgan_imagenet_f16_16384.ckpt",
-                   dest="vqgan_checkpoint", help="VQGAN checkpoint")
+                   dest="vqgan_checkpoint", help="Path to the VQGAN .ckpt weights")
     p.add_argument("-lr", "--learning_rate", type=float, default=0.1,
-                   dest="step_size", help="Learning rate")
+                   dest="step_size", help="Adam step size for the latent")
     p.add_argument("-sd", "--seed", type=int, default=None, dest="seed",
-                   help="Seed")
+                   help="PRNG seed (random when omitted)")
     p.add_argument("-cd", "--cuda_device", type=str, default="tpu",
                    dest="cuda_device",
                    help="Accelerator hint (reference compat; tpu|cpu)")
     p.add_argument("-o", "--output", type=str, default="output.png",
-                   dest="output", help="Output image filename")
+                   dest="output", help="Output PNG path")
     p.add_argument("-in", "--init_noise", type=str, default=None,
                    dest="init_noise",
-                   help="Initial noise image (random or gradient)")
+                   help="Latent init image kind: random | gradient")
     # TPU build extras (appended; absent in the reference)
     p.add_argument("--bpe_vocab", type=str, default=None, dest="bpe_vocab",
                    help="Path to CLIP bpe_simple_vocab_16e6.txt.gz")

@@ -64,6 +64,11 @@ def load_vqgan(config_path: str, ckpt_path: str, key):
 
 
 def load_clip(model_name: str, ckpt_path: str | None, key):
+    if model_name not in CLIP_CONFIGS:
+        raise ValueError(
+            f"unsupported CLIP model {model_name!r}; "
+            f"choose one of {sorted(CLIP_CONFIGS)}"
+        )
     if ckpt_path and os.path.exists(ckpt_path):
         sd = convert.load_torch_state_dict(ckpt_path)
         cfg = convert.clip_config_from_state_dict(sd)

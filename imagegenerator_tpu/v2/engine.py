@@ -62,6 +62,10 @@ class GenerateEngine:
             augment=self.augment,
         )
         self.tx = optax.adam(self.step_size, b1=0.9, b2=0.999, eps=1e-8)
+        # commit params to device arrays once (they are jit arguments of
+        # every step; numpy leaves would re-upload per call)
+        self.vqgan_params = jax.tree.map(jnp.asarray, self.vqgan_params)
+        self.clip_params = jax.tree.map(jnp.asarray, self.clip_params)
         codebook = np.asarray(self.vqgan_params["codebook"])
         # per-channel codebook bounds (reference generate.py:91-92)
         self.z_min = jnp.asarray(codebook.min(axis=0))[None, None, None, :]
@@ -108,13 +112,21 @@ class GenerateEngine:
         return clamp_with_grad((dec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
 
     # ---------------------------------------------------------------- loss
-    def _losses(self, z, key, embeds, weights, stops):
-        """Per-(batch, prompt) loss matrix (B, P)."""
+    def _losses(self, z, key, embeds, weights, stops, vq_params=None, clip_params=None):
+        """Per-(batch, prompt) loss matrix (B, P). Params default to the
+        engine's own trees; the jitted step passes them explicitly so the
+        multi-hundred-MB weights travel as jit ARGUMENTS rather than being
+        baked into the HLO as constants (which overflows compile-payload
+        limits and bloats every recompile)."""
+        vq_params = self.vqgan_params if vq_params is None else vq_params
+        clip_params = self.clip_params if clip_params is None else clip_params
         B = z.shape[0]
-        out = self.synth(z)
+        z_q = vector_quantize(z, vq_params["codebook"])
+        dec = self.vqmodel.apply({"params": vq_params}, z_q, method=VQModel.decode)
+        out = clamp_with_grad((dec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
         cuts = self.make_cutouts(key, out)  # (B*cutn, s, s, C)
         img_embeds = self.clip.apply(
-            {"params": self.clip_params},
+            {"params": clip_params},
             normalize_image(cuts),
             method=CLIP.encode_image,
         ).astype(jnp.float32)
@@ -129,13 +141,14 @@ class GenerateEngine:
         return jax.vmap(per_batch)(img_embeds, embeds, weights, stops)
 
     # ---------------------------------------------------------------- step
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def step(self, state: LatentState, key: jax.Array, embeds, weights, stops):
-        """One fused optimization iteration. embeds: (B, P, D); weights,
-        stops: (B, P). Returns (new_state, per-prompt losses (B, P))."""
-
+    @partial(jax.jit, static_argnums=0, donate_argnums=3)
+    def _step_impl(
+        self, vq_params, clip_params, state: LatentState, key, embeds, weights, stops
+    ):
         def total_loss(z):
-            losses = self._losses(z, key, embeds, weights, stops)
+            losses = self._losses(
+                z, key, embeds, weights, stops, vq_params, clip_params
+            )
             return jnp.sum(losses), losses
 
         (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(state.z)
@@ -143,6 +156,13 @@ class GenerateEngine:
         z = optax.apply_updates(state.z, updates)
         z = jnp.clip(z, self.z_min, self.z_max)  # generate.py:178-179
         return LatentState(z=z, opt_state=opt_state, step=state.step + 1), losses
+
+    def step(self, state: LatentState, key: jax.Array, embeds, weights, stops):
+        """One fused optimization iteration. embeds: (B, P, D); weights,
+        stops: (B, P). Returns (new_state, per-prompt losses (B, P))."""
+        return self._step_impl(
+            self.vqgan_params, self.clip_params, state, key, embeds, weights, stops
+        )
 
     # ---------------------------------------------------------------- run
     def run(

@@ -272,41 +272,48 @@ class Stage2System:
         key: jax.Array,
         axis_name: str | None = None,
     ):
-        """batch: {'input_ids', 'attention_mask', 'image': (B,256,256,3)}."""
+        """batch: {'input_ids', 'attention_mask', 'image': (B,256,256,3)}
+        — or, with precomputed caption embeddings (the frozen encoder
+        makes them per-caption constants; BASELINE.json config 1),
+        {'tem': (B, tem_size), 'image': ...}."""
         c = self.config
-        tokens = batch["input_ids"]
-        mask = batch["attention_mask"]
         real = batch["image"]
-        bsz = tokens.shape[0]
+        bsz = real.shape[0]
 
         def pmean(tree):
             return tree if axis_name is None else jax.lax.pmean(tree, axis_name)
 
         k_perm, k_loop = jax.random.split(key)
         perm = jax.random.permutation(k_perm, bsz)
-        tokens_mis, mask_mis = tokens[perm], mask[perm]
         iter_keys = jax.random.split(k_loop, c.n_critic)
 
-        # Frozen text embeddings: encoder is eval-mode + frozen, so tem is
-        # loop-invariant — compute matched+mismatched ONCE as a doubled
-        # batch and reuse across all critic iterations (the reference
-        # recomputes 2 BERT forwards per iteration; hoisting is exact here
-        # because eval-mode BERT is deterministic).
-        tokens_2b = jnp.concatenate([tokens, tokens_mis], axis=0)
-        mask_2b = jnp.concatenate([mask, mask_mis], axis=0)
-        hidden = self.encoder.apply(
-            {"params": state.frozen_params["encoder"]},
-            tokens_2b,
-            mask_2b,
-            deterministic=True,
-        )
-        tem_2b = self.projection.apply(
-            {"params": state.frozen_params["projection"]},
-            hidden[:, 0, :].astype(jnp.float32),
-        )
-        tem, tem_mis = jax.lax.stop_gradient(tem_2b[:bsz]), jax.lax.stop_gradient(
-            tem_2b[bsz:]
-        )
+        if "tem" in batch:
+            # Precomputed text embeddings: the mismatched condition is
+            # just the same embeddings under the shared-key permutation.
+            tem = jax.lax.stop_gradient(batch["tem"].astype(jnp.float32))
+            tem_mis = tem[perm]
+        else:
+            tokens, mask = batch["input_ids"], batch["attention_mask"]
+            tokens_mis, mask_mis = tokens[perm], mask[perm]
+            # Frozen text embeddings: encoder is eval-mode + frozen, so tem
+            # is loop-invariant — compute matched+mismatched ONCE as a
+            # doubled batch and reuse across all critic iterations (the
+            # reference recomputes 2 BERT forwards per iteration; hoisting
+            # is exact because eval-mode BERT is deterministic).
+            tokens_2b = jnp.concatenate([tokens, tokens_mis], axis=0)
+            mask_2b = jnp.concatenate([mask, mask_mis], axis=0)
+            hidden = self.encoder.apply(
+                {"params": state.frozen_params["encoder"]},
+                tokens_2b,
+                mask_2b,
+                deterministic=True,
+            )
+            tem_2b = self.projection.apply(
+                {"params": state.frozen_params["projection"]},
+                hidden[:, 0, :].astype(jnp.float32),
+            )
+            tem = jax.lax.stop_gradient(tem_2b[:bsz])
+            tem_mis = jax.lax.stop_gradient(tem_2b[bsz:])
 
         def frozen_64(k_ca1, k_z):
             c_hat1, _, _ = self.con_augment_1.apply(
@@ -428,6 +435,23 @@ class Stage2System:
                 step=state.step + 1,
             ),
             metrics,
+        )
+
+    # ------------------------------------------------------------------
+    def embed_texts(self, state: Stage2State, tokens, mask) -> jax.Array:
+        """Precompute caption embeddings through the frozen encoder +
+        projection (cacheable: the stage-2 encoder never updates). Feed
+        the result as ``batch['tem']`` to skip the per-step BERT forward.
+        """
+        hidden = self.encoder.apply(
+            {"params": state.frozen_params["encoder"]},
+            tokens,
+            mask,
+            deterministic=True,
+        )
+        return self.projection.apply(
+            {"params": state.frozen_params["projection"]},
+            hidden[:, 0, :].astype(jnp.float32),
         )
 
     # ------------------------------------------------------------------

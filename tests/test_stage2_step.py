@@ -78,3 +78,26 @@ def test_sample_shape(system):
     out = system.sample(state, batch, jax.random.key(3))
     assert out.shape == (B, 256, 256, 3)
     assert np.asarray(out).min() >= -1.0 and np.asarray(out).max() <= 1.0
+
+
+def test_precomputed_tem_matches_tokens(system):
+    """Feeding batch['tem'] (precomputed via embed_texts) must produce the
+    SAME step as the token path — the frozen encoder makes them equal."""
+    import jax.numpy as jnp
+
+    state = system.init(jax.random.key(0), B)
+    batch = _make_batch(jax.random.key(1), system.config)
+    step = make_train_step(system, donate=False)
+    _, m_tok = step(state, batch, jax.random.key(2))
+
+    tem = system.embed_texts(state, batch["input_ids"], batch["attention_mask"])
+    batch_pre = {"tem": tem, "image": batch["image"]}
+    state2 = system.init(jax.random.key(0), B)
+    _, m_pre = step(state2, batch_pre, jax.random.key(2))
+
+    # doubled-batch vs separate-batch encoder forwards differ by float
+    # association; 5 Adam updates amplify it slightly
+    for k in ("loss_critic", "loss_gen", "gp", "kl"):
+        np.testing.assert_allclose(
+            float(m_pre[k]), float(m_tok[k]), rtol=1e-3, err_msg=k
+        )

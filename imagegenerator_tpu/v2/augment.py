@@ -21,8 +21,13 @@ import jax.numpy as jnp
 # ------------------------------------------------------------- sampling
 def bilinear_sample(img, coords):
     """img: (H, W, C); coords: (H_out, W_out, 2) as (y, x) source coords.
-    Border-clamped bilinear sampling."""
-    H, W, _ = img.shape
+    Border-clamped bilinear sampling.
+
+    TPU note: the four taps are fetched with ONE flattened row-gather
+    (``jnp.take`` over (H*W, C)) instead of 2-D fancy indexing — XLA
+    lowers axis-0 takes far better than general multi-offset gathers.
+    """
+    H, W, C = img.shape
     y = jnp.clip(coords[..., 0], 0.0, H - 1.0)
     x = jnp.clip(coords[..., 1], 0.0, W - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -31,10 +36,14 @@ def bilinear_sample(img, coords):
     x1 = jnp.minimum(x0 + 1, W - 1)
     wy = (y - y0)[..., None]
     wx = (x - x0)[..., None]
-    p00 = img[y0, x0]
-    p01 = img[y0, x1]
-    p10 = img[y1, x0]
-    p11 = img[y1, x1]
+
+    flat = img.reshape(H * W, C)
+    out_shape = y0.shape
+    idx = jnp.stack(
+        [y0 * W + x0, y0 * W + x1, y1 * W + x0, y1 * W + x1], axis=0
+    ).reshape(-1)
+    taps = jnp.take(flat, idx, axis=0).reshape(4, *out_shape, C)
+    p00, p01, p10, p11 = taps[0], taps[1], taps[2], taps[3]
     return (
         p00 * (1 - wy) * (1 - wx)
         + p01 * (1 - wy) * wx
@@ -109,49 +118,61 @@ def sharpness(img, factor):
 
 
 # ------------------------------------------------------------ geometric
-def affine_grid(H, W, angle_deg, translate, scale=1.0):
-    """Inverse-map grid for a rotation+translation about the center."""
+def affine_homography(H, W, angle_deg, translate, scale=1.0):
+    """Inverse-map homography (3x3 in (y, x, 1) coords) for a
+    rotation+translation about the image center."""
     theta = jnp.deg2rad(angle_deg)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cos, sin = jnp.cos(theta) / scale, jnp.sin(theta) / scale
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    grid = _identity_grid(H, W)
-    y = grid[..., 0] - cy - translate[0]
-    x = grid[..., 1] - cx - translate[1]
-    # inverse rotation
-    src_y = (cos * y + sin * x) / scale + cy
-    src_x = (-sin * y + cos * x) / scale + cx
-    return jnp.stack([src_y, src_x], axis=-1)
+    oy = cy + translate[0]
+    ox = cx + translate[1]
+    return jnp.array(
+        [
+            [cos, sin, -cos * oy - sin * ox + cy],
+            [-sin, cos, sin * oy - cos * ox + cx],
+            [0.0, 0.0, 1.0],
+        ]
+    )
 
 
-def perspective_grid(H, W, src_corners):
-    """Inverse-map grid sending the output rectangle to ``src_corners``
-    (4x2, order: tl, tr, br, bl, as (y, x))."""
+def perspective_homography(H, W, src_corners):
+    """Inverse-map homography sending the output rectangle corners to
+    ``src_corners`` (4x2, order: tl, tr, br, bl, as (y, x))."""
     dst = jnp.array(
         [[0.0, 0.0], [0.0, W - 1.0], [H - 1.0, W - 1.0], [H - 1.0, 0.0]]
     )
-    # Solve the 8-dof homography mapping dst -> src.
     rows = []
     rhs = []
     for i in range(4):
         dy, dx = dst[i, 0], dst[i, 1]
         sy, sx = src_corners[i, 0], src_corners[i, 1]
-        rows.append(jnp.stack(
-            [dy, dx, 1.0, 0.0 * dy, 0.0 * dy, 0.0 * dy, -sy * dy, -sy * dx]
-        ))
+        zero = 0.0 * dy
+        rows.append(jnp.stack([dy, dx, 1.0 + zero, zero, zero, zero, -sy * dy, -sy * dx]))
         rhs.append(sy)
-        rows.append(jnp.stack(
-            [0.0 * dy, 0.0 * dy, 0.0 * dy, dy, dx, 1.0, -sx * dy, -sx * dx]
-        ))
+        rows.append(jnp.stack([zero, zero, zero, dy, dx, 1.0 + zero, -sx * dy, -sx * dx]))
         rhs.append(sx)
     A = jnp.stack(rows)
     b = jnp.stack(rhs)
     h = jnp.linalg.solve(A, b)
-    Hm = jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
+    return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
+
+
+def homography_grid(H, W, Hm):
+    """(y, x) source-coordinate grid for the inverse-map homography."""
     grid = _identity_grid(H, W)
     ones = jnp.ones_like(grid[..., :1])
     pts = jnp.concatenate([grid, ones], axis=-1)  # (H,W,3) as (y,x,1)
     warped = pts @ Hm.T
     return warped[..., :2] / jnp.maximum(warped[..., 2:3], 1e-8)
+
+
+# kept for API compatibility / tests
+def affine_grid(H, W, angle_deg, translate, scale=1.0):
+    return homography_grid(H, W, affine_homography(H, W, angle_deg, translate, scale))
+
+
+def perspective_grid(H, W, src_corners):
+    return homography_grid(H, W, perspective_homography(H, W, src_corners))
 
 
 # ------------------------------------------------------------- pipeline
@@ -180,20 +201,16 @@ def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
     sharped = jax.vmap(sharpness)(batch, sharp_fac)
     batch = jnp.where(do_sharp[:, None, None, None], sharped, batch)
 
-    # affine (rotation + translation, border padding)
+    # geometric: affine (rotation+translation) then perspective, COMPOSED
+    # into one homography per image so the batch pays a single bilinear
+    # resampling pass instead of two (gathers dominate warp cost on TPU;
+    # composing coordinate maps is also one fewer interpolation).
     do_aff = jax.random.bernoulli(keys[6], p_affine, (N,))
     angles = jax.random.uniform(keys[7], (N,), minval=-degrees, maxval=degrees)
     trans = jax.random.uniform(
         keys[8], (N, 2), minval=-translate, maxval=translate
     ) * jnp.array([H, W])
 
-    def apply_affine(img, angle, t):
-        return bilinear_sample(img, affine_grid(H, W, angle, t))
-
-    warped = jax.vmap(apply_affine)(batch, angles, trans)
-    batch = jnp.where(do_aff[:, None, None, None], warped, batch)
-
-    # perspective
     do_persp = jax.random.bernoulli(keys[9], p_persp, (N,))
     k_c = jax.random.fold_in(keys[9], 1)
     max_dy, max_dx = distortion * H / 2.0, distortion * W / 2.0
@@ -206,9 +223,20 @@ def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
     )
     corners = base + deltas
 
-    def apply_persp(img, cs):
-        return bilinear_sample(img, perspective_grid(H, W, cs))
+    eye = jnp.eye(3)
 
-    persped = jax.vmap(apply_persp)(batch, corners)
-    batch = jnp.where(do_persp[:, None, None, None], persped, batch)
+    def compose(sel_aff, angle, t, sel_persp, cs):
+        A = jnp.where(sel_aff, affine_homography(H, W, angle, t), eye)
+        Pm = jnp.where(sel_persp, perspective_homography(H, W, cs), eye)
+        # output -> perspective map -> affine map -> source
+        return A @ Pm
+
+    Ms = jax.vmap(compose)(do_aff, angles, trans, do_persp, corners)
+    any_warp = jnp.logical_or(do_aff, do_persp)
+
+    def apply_warp(img, M):
+        return bilinear_sample(img, homography_grid(H, W, M))
+
+    warped = jax.vmap(apply_warp)(batch, Ms)
+    batch = jnp.where(any_warp[:, None, None, None], warped, batch)
     return batch

@@ -179,7 +179,7 @@ def perspective_grid(H, W, src_corners):
 def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
                    degrees=30.0, translate=0.1, distortion=0.2,
                    p_flip=0.5, p_jitter=0.7, p_sharp=0.4, p_affine=0.8,
-                   p_persp=0.4):
+                   p_persp=0.4, warp_impl="2pass"):
     """Apply the reference's augmentation stack to (N, H, W, C) in [0,1]."""
     N, H, W, _ = batch.shape
     keys = jax.random.split(key, 10)
@@ -234,9 +234,16 @@ def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
     Ms = jax.vmap(compose)(do_aff, angles, trans, do_persp, corners)
     any_warp = jnp.logical_or(do_aff, do_persp)
 
-    def apply_warp(img, M):
-        return bilinear_sample(img, homography_grid(H, W, M))
+    if warp_impl == "2pass":
+        # scanline matmul warp: forward AND backward run on the MXU
+        # (gather/scatter-free) — see warp2pass.py
+        from imagegenerator_tpu.v2.warp2pass import warp_homography_2pass
 
-    warped = jax.vmap(apply_warp)(batch, Ms)
+        warped = warp_homography_2pass(batch, Ms)
+    else:
+        def apply_warp(img, M):
+            return bilinear_sample(img, homography_grid(H, W, M))
+
+        warped = jax.vmap(apply_warp)(batch, Ms)
     batch = jnp.where(any_warp[:, None, None, None], warped, batch)
     return batch

@@ -1,0 +1,107 @@
+"""Two-pass scanline homography warp (Catmull–Smith decomposition).
+
+Gather-based image warps are the wrong shape for TPU: the forward is a
+general gather and the backward a scatter-add, both of which XLA
+serializes. This module decomposes an inverse-map homography into two
+SCANLINE resampling passes:
+
+  pass 1 (horizontal): I1[y, j] = S[y, hx(y, j)]   for source rows y
+  pass 2 (vertical):   T[i, j]  = I1[sy(i, j), j]
+
+For a homography M (output (i,j,1) -> source (sy, sx, w)):
+  sy(i,j) = (m00 i + m01 j + m02) / (m20 i + m21 j + m22),
+and for fixed j, sy is a Möbius function of i with coefficients
+a = m00, b = m01 j + m02, c = m20, d = m21 j + m22; inverting gives
+i(y|j) = (d y - b) / (a - c y), and substituting into sx yields the
+closed-form horizontal map
+
+  hx(y, j) = (m10 (d y - b) + (m11 j + m12)(a - c y))
+           / (m20 (d y - b) + (m21 j + m22)(a - c y)).
+
+Each pass materializes per-scanline linear-interpolation weights and
+contracts them with one batched matmul — the MXU does the work, and the
+BACKWARD is just the transposed matmuls (no scatter). Weights are bf16;
+accumulation is f32.
+
+Accuracy: linear interpolation per pass; agrees with direct one-pass
+bilinear sampling exactly for axis-aligned maps and to sub-pixel
+interpolation error for the rotations (<=30 deg) and mild perspectives
+(distortion 0.2) the augmentation pipeline uses. Degenerate scanlines
+(a - c y -> 0) need ~90 deg rotations, far outside that range; the
+denominator is eps-guarded regardless.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _safe_div(num, den, eps=1e-8):
+    return num / jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+
+
+def _line_weights(coords, in_size, dtype=jnp.bfloat16):
+    """coords: (..., out) source positions -> (..., out, in_size) linear-
+    interp weights with border clamp."""
+    s = jnp.clip(coords, 0.0, in_size - 1.0)
+    s0 = jnp.floor(s)
+    frac = s - s0
+    k = jnp.arange(in_size, dtype=s.dtype)
+    s1 = jnp.minimum(s0 + 1.0, in_size - 1.0)
+    w0 = (k == s0[..., None]).astype(dtype) * (1.0 - frac[..., None]).astype(dtype)
+    w1 = (k == s1[..., None]).astype(dtype) * frac[..., None].astype(dtype)
+    return w0 + w1
+
+
+def warp_homography_2pass(images: jax.Array, Ms: jax.Array) -> jax.Array:
+    """images: (N, H, W, C); Ms: (N, 3, 3) inverse-map homographies in
+    (y, x, 1) coordinates. Returns the warped batch, same shape."""
+    N, H, W, C = images.shape
+    out_dtype = images.dtype
+    y = jnp.arange(H, dtype=jnp.float32)  # source rows (pass 1)
+    i = jnp.arange(H, dtype=jnp.float32)  # output rows (pass 2)
+    j = jnp.arange(W, dtype=jnp.float32)  # columns
+
+    m = Ms.astype(jnp.float32)  # (N, 3, 3)
+
+    def one(img, M):
+        m00, m01, m02 = M[0, 0], M[0, 1], M[0, 2]
+        m10, m11, m12 = M[1, 0], M[1, 1], M[1, 2]
+        m20, m21, m22 = M[2, 0], M[2, 1], M[2, 2]
+
+        # ---- pass 1: horizontal map hx(y, j) on the (H, W) grid
+        b = m01 * j + m02  # (W,)
+        d = m21 * j + m22  # (W,)
+        dy_b = m10 * (d[None, :] * y[:, None] - b[None, :])  # (H, W)
+        acy = m00 - m20 * y  # (H,) = a - c*y
+        num = dy_b + (m11 * j + m12)[None, :] * acy[:, None]
+        den = m20 * (d[None, :] * y[:, None] - b[None, :]) + (
+            m21 * j + m22
+        )[None, :] * acy[:, None]
+        hx = _safe_div(num, den)  # (H, W) source x per (source row, out col)
+
+        w1 = _line_weights(hx, W)  # (H, W_out, W_in) bf16
+        i1 = jnp.einsum(
+            "hok,hkc->hoc",
+            w1,
+            img.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (H, W, C)
+
+        # ---- pass 2: vertical map sy(i, j) on the (H, W) grid
+        sy = _safe_div(
+            m00 * i[:, None] + (m01 * j + m02)[None, :],
+            m20 * i[:, None] + (m21 * j + m22)[None, :],
+        )  # (H_out, W)
+
+        w2 = _line_weights(sy.swapaxes(0, 1), H)  # (W, H_out, H_in)
+        out = jnp.einsum(
+            "jok,kjc->ojc",
+            w2,
+            i1.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return out
+
+    return jax.vmap(one)(images, m).astype(out_dtype)

@@ -1,0 +1,76 @@
+"""Two-pass scanline warp vs the direct gather warp (oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagegenerator_tpu.v2.augment import (
+    affine_homography,
+    bilinear_sample,
+    homography_grid,
+    perspective_homography,
+)
+from imagegenerator_tpu.v2.warp2pass import warp_homography_2pass
+
+
+def _smooth_image(key, h, w):
+    """Low-frequency image: interpolation-scheme differences stay tiny."""
+    small = jax.random.uniform(key, (h // 8, w // 8, 3))
+    return jax.image.resize(small, (h, w, 3), method="cubic")
+
+
+def _direct(img, M):
+    H, W, _ = img.shape
+    return bilinear_sample(img, homography_grid(H, W, M))
+
+
+def test_identity_exact():
+    img = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    out = warp_homography_2pass(img, jnp.broadcast_to(jnp.eye(3), (2, 3, 3)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-2)
+
+
+def test_translation_matches_direct():
+    H = W = 64
+    img = _smooth_image(jax.random.key(1), H, W)
+    M = jnp.eye(3).at[0, 2].set(3.7).at[1, 2].set(-2.2)
+    got = warp_homography_2pass(img[None], M[None])[0]
+    want = _direct(img, M)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
+@pytest.mark.parametrize("angle", [10.0, -25.0])
+def test_rotation_close_to_direct(angle):
+    H = W = 64
+    img = _smooth_image(jax.random.key(2), H, W)
+    M = affine_homography(H, W, jnp.asarray(angle), jnp.zeros(2))
+    got = np.asarray(warp_homography_2pass(img[None], M[None])[0])
+    want = np.asarray(_direct(img, M))
+    # interior only: border-clamp fill differs at the warped-in edges
+    m = 8
+    np.testing.assert_allclose(
+        got[m:-m, m:-m], want[m:-m, m:-m], atol=5e-2
+    )
+
+
+def test_perspective_close_to_direct():
+    H = W = 64
+    img = _smooth_image(jax.random.key(3), H, W)
+    corners = jnp.array(
+        [[2.0, 3.0], [1.0, W - 4.0], [H - 3.0, W - 2.0], [H - 2.0, 1.5]]
+    )
+    M = perspective_homography(H, W, corners)
+    got = np.asarray(warp_homography_2pass(img[None], M[None])[0])
+    want = np.asarray(_direct(img, M))
+    m = 8
+    np.testing.assert_allclose(got[m:-m, m:-m], want[m:-m, m:-m], atol=5e-2)
+
+
+def test_backward_is_finite_and_nonzero():
+    img = _smooth_image(jax.random.key(4), 32, 32)[None]
+    M = affine_homography(32, 32, jnp.asarray(15.0), jnp.array([1.0, -2.0]))[None]
+
+    g = jax.grad(lambda im: jnp.sum(warp_homography_2pass(im, M) ** 2))(img)
+    arr = np.asarray(g)
+    assert np.isfinite(arr).all() and np.abs(arr).sum() > 0

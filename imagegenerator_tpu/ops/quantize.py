@@ -40,9 +40,16 @@ def nearest_codebook_indices(
     codebook = jax.lax.stop_gradient(codebook)
 
     d_dim = x.shape[-1]
+    n_rows = 1
+    for s in x.shape[:-1]:
+        n_rows *= s
     if use_pallas is None:
+        # streaming pays off once the row count covers the tile; below
+        # that the XLA matmul+argmin is faster (measured on v5e)
         use_pallas = (
-            jax.default_backend() == "tpu" and vq_kernel.supported(d_dim)
+            jax.default_backend() == "tpu"
+            and vq_kernel.supported(d_dim)
+            and n_rows >= 512
         )
     if use_pallas:
         flat = x.reshape(-1, d_dim)

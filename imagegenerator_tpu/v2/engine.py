@@ -102,14 +102,20 @@ class GenerateEngine:
         )
 
     # ---------------------------------------------------------------- synth
+    @partial(jax.jit, static_argnums=0)
+    def _synth_impl(self, vq_params, z):
+        z_q = vector_quantize(z, vq_params["codebook"])
+        dec = self.vqmodel.apply({"params": vq_params}, z_q, method=VQModel.decode)
+        return clamp_with_grad((dec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
     def synth(self, z: jax.Array) -> jax.Array:
         """latent -> [0,1] image with straight-through quantize + clamped
         gradient (reference generate.py:137-141)."""
-        z_q = vector_quantize(z, jnp.asarray(self.vqgan_params["codebook"]))
-        dec = self.vqmodel.apply(
-            {"params": self.vqgan_params}, z_q, method=VQModel.decode
-        )
-        return clamp_with_grad((dec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+        return self._synth_impl(self.vqgan_params, z)
+
+    @partial(jax.jit, static_argnums=0)
+    def _losses_impl(self, vq_params, clip_params, z, key, embeds, weights, stops):
+        return self._losses(z, key, embeds, weights, stops, vq_params, clip_params)
 
     # ---------------------------------------------------------------- loss
     def _losses(self, z, key, embeds, weights, stops, vq_params=None, clip_params=None):
@@ -182,7 +188,10 @@ class GenerateEngine:
             it_key = jax.random.fold_in(key, i)
             if checkin is not None and i % display_freq == 0:
                 imgs = self.synth(state.z)
-                losses = self._losses(state.z, it_key, embeds, weights, stops)
+                losses = self._losses_impl(
+                    self.vqgan_params, self.clip_params,
+                    state.z, it_key, embeds, weights, stops,
+                )
                 checkin(i, np.asarray(imgs), np.asarray(losses))
             if i == iterations:
                 break

@@ -206,6 +206,13 @@ def main():
             ki, (batch, 256, 256, 3), jnp.float32, minval=-1, maxval=1
         ),
     }
+    if os.environ.get("BENCH_PRECOMPUTED") == "1":
+        # offline-embedded captions (frozen encoder => per-caption
+        # constants; see Stage2System.embed_texts)
+        tem = system.embed_texts(
+            state, batch_data["input_ids"], batch_data["attention_mask"]
+        )
+        batch_data = {"tem": tem, "image": batch_data["image"]}
     batch_data = jax.device_put(batch_data)
 
     step = make_train_step(system, donate=True)

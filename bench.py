@@ -15,6 +15,9 @@ Env knobs:
                steps/sec on full-size f16-16384 VQGAN + ViT-B/32,
                reference defaults: 128px, 32 cutouts)
   BENCH_BATCH  (default 128) per-chip batch size (stage2; 128 = measured best)
+  BENCH_PRECOMPUTED (default 1) stage2 caption embeddings precomputed
+               offline (the frozen-encoder production design; set 0 to
+               time the in-step BERT forward instead)
   BENCH_STEPS  (default 8)    timed steps
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
 """
@@ -206,7 +209,7 @@ def main():
             ki, (batch, 256, 256, 3), jnp.float32, minval=-1, maxval=1
         ),
     }
-    if os.environ.get("BENCH_PRECOMPUTED") == "1":
+    if os.environ.get("BENCH_PRECOMPUTED", "1") == "1":
         # offline-embedded captions (frozen encoder => per-caption
         # constants; see Stage2System.embed_texts)
         tem = system.embed_texts(

@@ -78,17 +78,17 @@ def rgb_to_hsv(rgb):
 
 
 def hsv_to_rgb(hsv):
+    # Branchless formulation: r,g,b = v - v*s*clip(min(k, 4-k), 0, 1)
+    # with k = (n + 6h) mod 6 for n = 5, 3, 1. Pure VPU elementwise ops —
+    # jnp.choose would lower to a gather whose backward is a TPU scatter
+    # (measured 10x slower through the jitter path).
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - f * s)
-    t = v * (1.0 - (1.0 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+
+    def channel(n):
+        k = jnp.mod(n + h * 6.0, 6.0)
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
 
 
 def color_jitter(img, hue_shift, sat_factor):

@@ -101,7 +101,7 @@ class _Block(nn.Module):
         B, T, C = x.shape
         hd = self.width // self.heads
 
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, self.heads, hd)
@@ -117,7 +117,7 @@ class _Block(nn.Module):
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, C)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(ctx)
 
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
@@ -159,12 +159,12 @@ class VisionTransformer(nn.Module):
             (x.shape[1], c.vision_width),
         )
         x = x + pos.astype(x.dtype)
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
         for i in range(c.vision_layers):
             x = _Block(
                 c.vision_width, c.vision_heads, dtype=self.dtype, name=f"block_{i}"
             )(x)
-        x = nn.LayerNorm(name="ln_post")(x[:, 0, :])
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
             lambda k, s: scale * jax.random.normal(k, s),
@@ -194,7 +194,7 @@ class TextTransformer(nn.Module):
                 c.text_width, c.text_heads, causal=True, dtype=self.dtype,
                 name=f"block_{i}",
             )(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)
         x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
         proj = self.param(

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from imagegenerator_tpu.models.bert import BertConfig, BertEncoder
 from imagegenerator_tpu.models.con_augment import ConditioningAugmentation
@@ -44,7 +44,7 @@ from imagegenerator_tpu.models.stackgan import (
 )
 from imagegenerator_tpu.ops.layers import Dense
 from imagegenerator_tpu.train import losses, schedules
-from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1State, Stage1System
+from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1State
 
 
 @dataclasses.dataclass(frozen=True)

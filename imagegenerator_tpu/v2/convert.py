@@ -155,13 +155,13 @@ def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
         image_resolution=patch_size * grid,
         vision_width=vision_width,
         vision_layers=vision_layers,
-        vision_heads=vision_width // 64,
+        vision_heads=max(1, vision_width // 64),
         patch_size=patch_size,
         vocab_size=sd["token_embedding.weight"].shape[0],
         context_length=sd["positional_embedding"].shape[0],
         text_width=text_width,
         text_layers=text_layers,
-        text_heads=text_width // 64,
+        text_heads=max(1, text_width // 64),
     )
 
 

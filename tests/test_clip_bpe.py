@@ -1,0 +1,61 @@
+"""CLIP BPE tokenizer against a synthetic merges file: merge application,
+SOT/EOT framing, truncation, caching determinism."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from imagegenerator_tpu.v2.tokenizer import SOT, EOT, CLIPTokenizer
+
+
+@pytest.fixture(scope="module")
+def bpe_path(tmp_path_factory):
+    """Standard merges-file format: header line then 'a b' merge pairs.
+    Uses real early merges (whole-word 'a</w>', 'cat' pieces)."""
+    merges = [
+        "#version: 0.2",
+        "a </w>",          # 'a' as a word
+        "c a",             # ca
+        "ca t</w>",        # cat</w>
+        "t h",             # th
+        "th e</w>",        # the</w>
+    ]
+    # pad out to the expected merge count window with inert pairs
+    for i in range(49152 - 256 - 2 - len(merges) + 1 - 5):
+        merges.append(f"q{'x' * (i % 3)} z")  # never-matching junk pairs
+    p = tmp_path_factory.mktemp("bpe") / "vocab.txt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges))
+    return str(p)
+
+
+def test_bpe_merges_applied(bpe_path):
+    tok = CLIPTokenizer(bpe_path, context_length=16)
+    out = tok(["a cat"])
+    assert out.shape == (1, 16)
+    assert out[0, 0] == SOT
+    ids = list(out[0])
+    eot_pos = ids.index(EOT)
+    # 'a' -> one token (merge 'a</w>'), 'cat' -> one token ('cat</w>')
+    assert eot_pos == 3, f"expected [SOT, a, cat, EOT], got {ids[:6]}"
+
+    # unmerged word falls back to per-character pieces
+    out2 = tok(["dog"])
+    ids2 = list(out2[0])
+    assert ids2.index(EOT) == 4  # SOT, d, o, g</w>, EOT
+
+
+def test_bpe_truncation_and_padding(bpe_path):
+    tok = CLIPTokenizer(bpe_path, context_length=8)
+    out = tok(["a a a a a a a a a a a a"])
+    assert out.shape == (1, 8)
+    assert out[0, 0] == SOT and out[0, -1] == EOT  # truncated to fit
+    out2 = tok(["a"])
+    assert (out2[0, 3:] == 0).all()  # zero padding after EOT
+
+
+def test_bpe_deterministic_and_case_insensitive(bpe_path):
+    tok = CLIPTokenizer(bpe_path, context_length=16)
+    np.testing.assert_array_equal(tok(["The Cat"]), tok(["the cat"]))
+    np.testing.assert_array_equal(tok(["a cat"]), tok(["  a   cat  "]))

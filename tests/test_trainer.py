@@ -56,3 +56,35 @@ def test_stage1_trainer_epoch(tmp_path):
     trainer2 = Stage1Trainer(system, loader, options)
     _, start2 = trainer2.init_state(batch_size=2)
     assert start2 == 1
+
+
+def test_stage2_trainer_epoch(tmp_path):
+    """Stage-2 trainer end-to-end: 256px synthetic data, image sampling
+    via the fixed-noise path, checkpoint + resume."""
+    from imagegenerator_tpu.train.stage2 import Stage2Config, Stage2System
+    from imagegenerator_tpu.train.trainer import Stage2Trainer
+
+    store = open_store("mem://trainer2-test")
+    _setup_dataset(store)
+
+    cfg = Stage2Config.tiny(n_critic=1)
+    system = Stage2System(cfg)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
+    tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
+    loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
+
+    options = TrainerOptions(
+        num_epochs=1,
+        save_every_epochs=1,
+        sample_every_steps=1,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        seed=3,
+    )
+    trainer = Stage2Trainer(system, loader, options)
+    state, start = trainer.init_state(batch_size=2)
+    state = trainer.fit(state, start)
+    assert int(state.step) == 2
+
+    trainer2 = Stage2Trainer(system, loader, options)
+    _, start2 = trainer2.init_state(batch_size=2)
+    assert start2 == 1

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 import orbax.checkpoint as ocp
+from etils import epath
 
 
 class CheckpointManager:
@@ -42,17 +43,19 @@ class CheckpointManager:
         return epoch % self.save_every_epochs == 0
 
     def save(self, epoch: int, state) -> None:
-        """Dual-write: per-epoch checkpoint + rolling latest + marker."""
+        """Dual-write: per-epoch checkpoint + rolling latest + marker.
+
+        The marker goes through ``etils.epath`` (the path layer Orbax
+        itself uses) so it works on ``gs://`` URLs exactly like the
+        checkpoint payloads — builtin ``open()`` cannot write them."""
         self._ckptr.save(self._epoch_dir(epoch), state, force=True)
         self._ckptr.save(self._latest_dir(), state, force=True)
         self._ckptr.wait_until_finished()
-        with open(self._marker(), "w") as f:
-            f.write(str(epoch))
+        epath.Path(self._marker()).write_text(str(epoch))
 
     def latest_epoch(self) -> int:
         try:
-            with open(self._marker()) as f:
-                return int(f.read().strip())
+            return int(epath.Path(self._marker()).read_text().strip())
         except (OSError, ValueError):
             return -1
 

@@ -182,3 +182,50 @@ def convert_hf_bert_params(state_dict: dict, config: BertConfig) -> dict:
             "output_ln": ln(f"{p}.output.LayerNorm"),
         }
     return jax.tree.map(jnp.asarray, params)
+
+
+def config_from_state_dict(state_dict: dict) -> BertConfig:
+    """Infer a ``BertConfig`` from an HF BERT torch ``state_dict`` (shape
+    inspection only — the reference relies on HF doing this from
+    config.json; we have only the weights file)."""
+
+    def shape(name):
+        for k in (name, f"bert.{name}"):
+            if k in state_dict:
+                return tuple(state_dict[k].shape)
+        raise KeyError(name)
+
+    vocab, hidden = shape("embeddings.word_embeddings.weight")
+    max_pos = shape("embeddings.position_embeddings.weight")[0]
+    type_vocab = shape("embeddings.token_type_embeddings.weight")[0]
+    inter = shape("encoder.layer.0.intermediate.dense.weight")[0]
+    layers = 0
+    while any(
+        f"{pfx}encoder.layer.{layers}.intermediate.dense.weight" in state_dict
+        for pfx in ("", "bert.")
+    ):
+        layers += 1
+    # head count is not recoverable from shapes (hd*nh == hidden for any
+    # factorization); BERT-base family uses hidden/64 heads.
+    return BertConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        num_layers=layers,
+        num_heads=max(1, hidden // 64),
+        intermediate_size=inter,
+        max_position_embeddings=max_pos,
+        type_vocab_size=type_vocab,
+    )
+
+
+def load_bert_checkpoint(path: str, config: BertConfig | None = None):
+    """Load a local HF torch checkpoint (``pytorch_model.bin`` /
+    ``.pt`` state_dict) and convert to ``BertEncoder`` params — the
+    pretrained-SpanBERT entry point of ``/root/reference/train.py:68``.
+    Returns ``(params, config)``."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    if config is None:
+        config = config_from_state_dict(state_dict)
+    return convert_hf_bert_params(state_dict, config), config

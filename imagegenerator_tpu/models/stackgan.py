@@ -47,20 +47,32 @@ Dtype = Any
 
 
 class StageIGenerator(nn.Module):
+    """``channels`` parameterizes depth: the first entry is the stride-1
+    1x1→4x4 block, each later entry a stride-2 upsample, plus the final
+    stride-2 ConvT to RGB — output resolution = 2**(len(channels) + 2).
+    The default (192, 96, 48, 24) is the reference architecture (64px);
+    shorter tuples give genuinely small test configs (e.g. 2 -> 16px)."""
+
     c_dim: int = 128
     z_dim: int = 100
+    channels: tuple = (192, 96, 48, 24)
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
+
+    @property
+    def resolution(self) -> int:
+        return 2 ** (len(self.channels) + 2)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # x: (B, c_dim + z_dim) -> (B, 1, 1, C)
         x = x[:, None, None, :]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = UpBlock(192, kernel_size=4, stride=1, padding=0, **kw)(x, train)
-        x = UpBlock(96, **kw)(x, train)
-        x = UpBlock(48, **kw)(x, train)
-        x = UpBlock(24, **kw)(x, train)
+        x = UpBlock(
+            self.channels[0], kernel_size=4, stride=1, padding=0, **kw
+        )(x, train)
+        for feat in self.channels[1:]:
+            x = UpBlock(feat, **kw)(x, train)
         x = ConvTranspose2d(3, 4, 2, 1, **kw)(x)
         return jnp.tanh(x)
 
@@ -91,15 +103,20 @@ class _TextImageCriticHead(nn.Module):
 
 
 class StageIDiscriminator(nn.Module):
+    """``channels``: first entry = stem conv, rest = DownBlocks; input
+    resolution = 2**(len(channels) + 2) (each layer is stride 2, ending at
+    a 4x4 feature map). Default matches the reference (64px)."""
+
     tem_size: int = 512
     nd: int = 128
+    channels: tuple = (64, 128, 256, 512)
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.conv_in = Conv2d(64, 4, 2, 1, **kw)
-        self.down_blocks = [DownBlock(f, **kw) for f in (128, 256, 512)]
+        self.conv_in = Conv2d(self.channels[0], 4, 2, 1, **kw)
+        self.down_blocks = [DownBlock(f, **kw) for f in self.channels[1:]]
         self.head = _TextImageCriticHead(self.nd, 128, **kw)
 
     def features(self, img, train: bool = True):
@@ -143,42 +160,50 @@ class ResidualBlock(nn.Module):
 
 
 class StageIIGenerator(nn.Module):
+    """Output resolution = input/4 * 2**(len(up_channels) + 1); the
+    defaults reproduce the reference 64→256px refinement exactly."""
+
     num_residual: int = 4
+    in_channels: int = 128
+    feat_channels: int = 512
+    res_channels: int = 320
+    up_channels: tuple = (320, 160, 80)
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img_64, c_hat, train: bool = True):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = Conv2d(128, 4, 2, 1, **kw)(img_64)
+        x = Conv2d(self.in_channels, 4, 2, 1, **kw)(img_64)
         x = jax.nn.leaky_relu(x, 0.1)
-        x = DownBlock(512, **kw)(x, train)  # (B, 16, 16, 512)
+        x = DownBlock(self.feat_channels, **kw)(x, train)  # (B, 16, 16, 512)
         rep = jnp.broadcast_to(
             c_hat[:, None, None, :],
             (x.shape[0], x.shape[1], x.shape[2], c_hat.shape[-1]),
         ).astype(x.dtype)
         x = jnp.concatenate([x, rep], axis=-1)  # (B, 16, 16, 640)
         for _ in range(self.num_residual):
-            x = ResidualBlock(320, **kw)(x, train)
-        x = UpBlock(320, **kw)(x, train)
-        x = UpBlock(160, **kw)(x, train)
-        x = UpBlock(80, **kw)(x, train)
+            x = ResidualBlock(self.res_channels, **kw)(x, train)
+        for feat in self.up_channels:
+            x = UpBlock(feat, **kw)(x, train)
         x = ConvTranspose2d(3, 4, 2, 1, **kw)(x)
         return jnp.tanh(x)  # (B, 256, 256, 3)
 
 
 class StageIIDiscriminator(nn.Module):
+    """``channels``: stem conv + DownBlocks; input resolution =
+    2**(len(channels) + 2). Default matches the reference (256px)."""
+
     tem_size: int = 512
     nd: int = 128
+    channels: tuple = (16, 32, 64, 128, 256, 512)
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.conv_in = Conv2d(16, 4, 2, 1, **kw)
-        self.down_blocks = [
-            DownBlock(f, **kw) for f in (32, 64, 128, 256, 512)
-        ]
+        self.conv_in = Conv2d(self.channels[0], 4, 2, 1, **kw)
+        self.down_blocks = [DownBlock(f, **kw) for f in self.channels[1:]]
         self.head = _TextImageCriticHead(self.nd, 160, **kw)
 
     def features(self, img, train: bool = True):

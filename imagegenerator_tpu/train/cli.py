@@ -64,6 +64,16 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
     p.add_argument("--bert_vocab", type=int, default=28996)
+    p.add_argument("--bert_checkpoint", type=str, default=None,
+                   help="local HF torch state_dict (pytorch_model.bin / "
+                        ".pt) of the pretrained text encoder — the "
+                        "SpanBERT/spanbert-base-cased role of reference "
+                        "train.py:68; architecture is inferred from the "
+                        "weights")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="local HF tokenizer dir/name (the SpanBERT "
+                        "tokenizer role of reference data_loader.py:68-79); "
+                        "default: the dependency-free HashTokenizer")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the reference's PJRT process-group role)")
@@ -80,6 +90,20 @@ def main(argv=None):
     devices = np.array(jax.devices())
     mesh = jax.sharding.Mesh(devices, ("data",)) if len(devices) > 1 else None
 
+    # Pretrained text encoder (reference train.py:68): load + convert the
+    # torch state_dict up front so its inferred architecture flows into
+    # the train config; params are transplanted after init below.
+    bert_params = None
+    bert_cfg = BertConfig(vocab_size=args.bert_vocab)
+    if args.bert_checkpoint:
+        from imagegenerator_tpu.models.bert import load_bert_checkpoint
+
+        bert_params, bert_cfg = load_bert_checkpoint(args.bert_checkpoint)
+        print(
+            f"Loaded pretrained BERT: {bert_cfg.num_layers}L/"
+            f"{bert_cfg.hidden_size}H vocab={bert_cfg.vocab_size}"
+        )
+
     common = dict(
         tem_size=args.tem_size,
         c_dim=args.c_dim,
@@ -90,24 +114,53 @@ def main(argv=None):
         kl_mode=args.kl_mode,
         seq_len=args.seq_len,
         compute_dtype=dtype,
-        bert=BertConfig(vocab_size=args.bert_vocab),
+        bert=bert_cfg,
     )
 
+    # config first — the dataset image size follows cfg.resolution (tiny
+    # configs run a genuinely small pyramid)
+    tiny_kw = dict(n_critic=args.n_critic)
+    if bert_params is not None:
+        # tiny + pretrained checkpoint: tiny GAN, real encoder
+        # architecture (the converter smoke-test path)
+        tiny_kw.update(bert=bert_cfg, seq_len=args.seq_len)
+    if args.stage == 1:
+        cfg = (
+            s1.Stage1Config.tiny(**tiny_kw)
+            if args.tiny
+            else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
+        )
+    else:
+        cfg = (
+            s2.Stage2Config.tiny(**tiny_kw)
+            if args.tiny
+            else s2.Stage2Config(lr=args.lr, **common)
+        )
+
     store = open_store(args.data)
-    image_size = 64 if args.stage == 1 else 256
     host_count = jax.process_count()
     dataset = CocoCaptions(
         store,
         args.root,
         args.ann_file,
-        image_size=image_size,
+        image_size=cfg.resolution,
         host_index=jax.process_index(),
         host_count=host_count,
     )
-    tokenizer = HashTokenizer(vocab_size=args.bert_vocab, max_length=args.seq_len)
-    global_batch = args.batch_size * len(devices)
+    if args.tokenizer:
+        from imagegenerator_tpu.data.tokenizer import HFTokenizer
+
+        tokenizer = HFTokenizer(args.tokenizer, max_length=args.seq_len)
+    else:
+        tokenizer = HashTokenizer(
+            vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len
+        )
+    # Each process builds only its addressable share of the global batch;
+    # the loader assembles the global array via
+    # make_array_from_process_local_data (see data/pipeline.py).
+    local_batch = args.batch_size * jax.local_device_count()
     loader = DataLoader(
-        dataset, tokenizer, batch_size=global_batch, seed=args.seed, mesh=mesh
+        dataset, tokenizer, batch_size=local_batch, seed=args.seed, mesh=mesh
     )
 
     options = TrainerOptions(
@@ -118,21 +171,19 @@ def main(argv=None):
     )
 
     if args.stage == 1:
-        cfg = (
-            s1.Stage1Config.tiny(n_critic=args.n_critic)
-            if args.tiny
-            else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
-        )
         system = s1.Stage1System(cfg)
         trainer = Stage1Trainer(system, loader, options, mesh=mesh)
         state, start_epoch = trainer.init_state(args.batch_size)
+        if bert_params is not None and start_epoch == 0:
+            # transplant the pretrained encoder (fresh runs only — a
+            # resumed checkpoint already carries the fine-tuned weights)
+            state = state.replace(
+                params={**state.params, "encoder": bert_params}
+            )
+            if mesh is not None:
+                state = s1.replicate_state(state, mesh)
         trainer.fit(state, start_epoch)
     else:
-        cfg = (
-            s2.Stage2Config.tiny(n_critic=args.n_critic)
-            if args.tiny
-            else s2.Stage2Config(lr=args.lr, **common)
-        )
         system = s2.Stage2System(cfg)
         trainer = Stage2Trainer(system, loader, options, mesh=mesh)
         stage1_state = None
@@ -140,7 +191,7 @@ def main(argv=None):
             from imagegenerator_tpu.checkpoint import CheckpointManager
 
             s1_cfg = (
-                s1.Stage1Config.tiny(n_critic=args.n_critic)
+                s1.Stage1Config.tiny(**tiny_kw)
                 if args.tiny
                 else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
             )
@@ -150,6 +201,14 @@ def main(argv=None):
                 args.stage1_checkpoint
             ).restore_latest(template)
         state, start_epoch = trainer.init_state(args.batch_size, stage1_state)
+        if bert_params is not None and start_epoch == 0 and stage1_state is None:
+            # no stage-1 checkpoint to inherit from: freeze the pretrained
+            # encoder directly
+            state = state.replace(
+                frozen_params={**state.frozen_params, "encoder": bert_params}
+            )
+            if mesh is not None:
+                state = s1.replicate_state(state, mesh)
         trainer.fit(state, start_epoch)
 
 

@@ -66,12 +66,35 @@ class Stage2Config:
     remat: bool = False
     # lax.scan unroll factor for the critic inner loop (see stage1).
     unroll_critic: int = 1
+    # Architecture depth/width (see models.stackgan). Stage-1 (frozen
+    # stack) resolution = 2**(len(gen1_channels)+2); stage-2 output
+    # resolution = res1/4 * 2**(len(g2_up_channels)+1). Defaults are the
+    # reference 64→256px pipeline.
+    gen1_channels: tuple = (192, 96, 48, 24)
+    g2_in_channels: int = 128
+    g2_feat_channels: int = 512
+    g2_res_channels: int = 320
+    g2_up_channels: tuple = (320, 160, 80)
+    d2_channels: tuple = (16, 32, 64, 128, 256, 512)
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     compute_dtype: Any = None
 
+    @property
+    def res1(self) -> int:
+        """Stage-1 (input) resolution."""
+        return 2 ** (len(self.gen1_channels) + 2)
+
+    @property
+    def resolution(self) -> int:
+        """Stage-2 (output) resolution."""
+        return self.res1 // 4 * 2 ** (len(self.g2_up_channels) + 1)
+
     @classmethod
     def tiny(cls, **kw) -> "Stage2Config":
-        return cls(
+        """Tiny widths AND a 16→32px pyramid (vs the full 64→256px):
+        round-1 tiny kept full spatial dims and took 7+ min to compile on
+        CPU (VERDICT.md 'What's weak' #2)."""
+        defaults = dict(
             tem_size=32,
             c_dim=16,
             z_dim=12,
@@ -79,9 +102,16 @@ class Stage2Config:
             h_dim=16,
             seq_len=8,
             num_residual=1,
+            gen1_channels=(24, 12),
+            g2_in_channels=8,
+            g2_feat_channels=16,
+            g2_res_channels=8,
+            g2_up_channels=(16, 8),
+            d2_channels=(8, 16, 32),
             bert=BertConfig.tiny(),
-            **kw,
         )
+        defaults.update(kw)
+        return cls(**defaults)
 
     def stage1_config(self, **kw) -> Stage1Config:
         return Stage1Config(
@@ -91,6 +121,7 @@ class Stage2Config:
             nd=self.nd,
             h_dim=self.h_dim,
             seq_len=self.seq_len,
+            gen_channels=self.gen1_channels,
             bert=self.bert,
             compute_dtype=self.compute_dtype,
             **kw,
@@ -119,19 +150,39 @@ class Stage2System:
         self.encoder = BertEncoder(c.bert, dtype=c.compute_dtype)
         self.projection = Dense(c.tem_size, dtype=c.compute_dtype)
         self.con_augment_1 = ConditioningAugmentation(h_dim=c.h_dim, c_dim=c.c_dim)
-        self.gen_1 = StageIGenerator(c_dim=c.c_dim, z_dim=c.z_dim, dtype=c.compute_dtype)
+        self.gen_1 = StageIGenerator(
+            c_dim=c.c_dim,
+            z_dim=c.z_dim,
+            channels=c.gen1_channels,
+            dtype=c.compute_dtype,
+        )
         # trained modules
         self.con_augment_2 = ConditioningAugmentation(h_dim=c.h_dim, c_dim=c.c_dim)
         self.gen_2 = StageIIGenerator(
-            num_residual=c.num_residual, dtype=c.compute_dtype
+            num_residual=c.num_residual,
+            in_channels=c.g2_in_channels,
+            feat_channels=c.g2_feat_channels,
+            res_channels=c.g2_res_channels,
+            up_channels=c.g2_up_channels,
+            dtype=c.compute_dtype,
         )
         self.critic_2 = StageIIDiscriminator(
-            tem_size=c.tem_size, nd=c.nd, dtype=c.compute_dtype
+            tem_size=c.tem_size,
+            nd=c.nd,
+            channels=c.d2_channels,
+            dtype=c.compute_dtype,
         )
+        # Critic StepLR boundary scaled by n_critic: the critic optimizer
+        # updates n_critic times per batch, so decaying at
+        # sched_step * n_critic updates keeps its LR synchronized with the
+        # generator's per-batch schedule (see stage1.Stage1System).
         self.tx = {
             name: schedules.adam_with_steplr(c.lr, c.sched_step, c.sched_gamma)
-            for name in TRAINED
+            for name in ("con_augment_2", "generator")
         }
+        self.tx["critic"] = schedules.adam_with_steplr(
+            c.lr, c.sched_step * c.n_critic, c.sched_gamma
+        )
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, batch_size: int) -> Stage2State:
@@ -141,8 +192,8 @@ class Stage2System:
         mask = jnp.ones((batch_size, c.seq_len), jnp.int32)
         tem = jnp.zeros((batch_size, c.tem_size), jnp.float32)
         latent = jnp.zeros((batch_size, c.c_dim + c.z_dim), jnp.float32)
-        img64 = jnp.zeros((batch_size, 64, 64, 3), jnp.float32)
-        img256 = jnp.zeros((batch_size, 256, 256, 3), jnp.float32)
+        img64 = jnp.zeros((batch_size, c.res1, c.res1, 3), jnp.float32)
+        img256 = jnp.zeros((batch_size, c.resolution, c.resolution, 3), jnp.float32)
         c_hat = jnp.zeros((batch_size, c.c_dim), jnp.float32)
 
         enc = self.encoder.init({"params": keys[0], "dropout": keys[0]}, tokens, mask)
@@ -190,7 +241,6 @@ class Stage2System:
         """Frozen text→CA1→G1 pipeline in eval mode (reference :52-63,
         121-128). Returns (tem, fake_64); CA1 still samples noise (it has
         no train/eval distinction)."""
-        c = self.config
         hidden = self.encoder.apply(
             {"params": frozen_params["encoder"]}, tokens, mask, deterministic=True
         )
@@ -198,16 +248,24 @@ class Stage2System:
             {"params": frozen_params["projection"]},
             hidden[:, 0, :].astype(jnp.float32),
         )
+        return tem, self._frozen_64_from_tem(
+            frozen_params, frozen_gen_stats, tem, k_ca, k_z
+        )
+
+    def _frozen_64_from_tem(self, frozen_params, frozen_gen_stats, tem, k_ca, k_z):
+        """CA1 → G1 half of the frozen pipeline, from a (possibly
+        precomputed) text embedding."""
+        c = self.config
         c_hat1, _, _ = self.con_augment_1.apply(
             {"params": frozen_params["con_augment_1"]}, tem, rngs={"noise": k_ca}
         )
-        z = jax.random.normal(k_z, (tokens.shape[0], c.z_dim), jnp.float32)
+        z = jax.random.normal(k_z, (tem.shape[0], c.z_dim), jnp.float32)
         fake_64 = self.gen_1.apply(
             {"params": frozen_params["gen_1"], "batch_stats": frozen_gen_stats},
             jnp.concatenate([c_hat1, z], axis=1),
             train=False,
         )
-        return tem, jax.lax.stop_gradient(fake_64)
+        return jax.lax.stop_gradient(fake_64)
 
     def _gen2_forward(self, params, gen_stats, fake_64, tem, k_ca2):
         c_hat2, mu2, sigma2 = self.con_augment_2.apply(
@@ -457,16 +515,24 @@ class Stage2System:
     # ------------------------------------------------------------------
     def sample(self, state: Stage2State, batch: dict, key: jax.Array):
         """Fixed-noise 256px sample generation (the reference's
-        TensorBoard image path, stage_2_train_fn.py:181-208)."""
+        TensorBoard image path, stage_2_train_fn.py:181-208). Accepts
+        token batches ({'input_ids','attention_mask'}) or
+        precomputed-embedding batches ({'tem'}), like train_step."""
         k_ca1, k_z, k_ca2 = jax.random.split(key, 3)
-        tem, fake_64 = self._frozen_64(
-            state.frozen_params,
-            state.frozen_gen_stats,
-            batch["input_ids"],
-            batch["attention_mask"],
-            k_ca1,
-            k_z,
-        )
+        if "tem" in batch:
+            tem = batch["tem"].astype(jnp.float32)
+            fake_64 = self._frozen_64_from_tem(
+                state.frozen_params, state.frozen_gen_stats, tem, k_ca1, k_z
+            )
+        else:
+            tem, fake_64 = self._frozen_64(
+                state.frozen_params,
+                state.frozen_gen_stats,
+                batch["input_ids"],
+                batch["attention_mask"],
+                k_ca1,
+                k_z,
+            )
         c_hat2, _, _ = self.con_augment_2.apply(
             {"params": state.params["con_augment_2"]}, tem, rngs={"noise": k_ca2}
         )

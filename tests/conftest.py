@@ -19,3 +19,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: repeated pytest runs skip XLA recompiles
+# of the train-step graphs (the round-1 suite spent most of its wall time
+# recompiling identical tiny-config HLO — VERDICT.md 'What's weak' #3).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

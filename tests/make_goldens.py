@@ -34,7 +34,12 @@ def stage1_golden():
     batch = {
         "input_ids": jax.random.randint(kt, (4, system.config.seq_len), 0, 128),
         "attention_mask": jnp.ones((4, system.config.seq_len), jnp.int32),
-        "image": jax.random.uniform(ki, (4, 64, 64, 3), minval=-1, maxval=1),
+        "image": jax.random.uniform(
+            ki,
+            (4, system.config.resolution, system.config.resolution, 3),
+            minval=-1,
+            maxval=1,
+        ),
     }
     step = make_train_step(system, donate=False)
     _, metrics = step(state, batch, jax.random.key(2))

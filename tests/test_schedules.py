@@ -14,6 +14,47 @@ def test_step_lr_decay_points():
     np.testing.assert_allclose(float(sched(200)), 2.5e-4, rtol=1e-6)
 
 
+def test_critic_schedule_synced_with_generator():
+    """The critic optimizer updates n_critic times per batch; its StepLR
+    transition must scale by n_critic so critic and generator LRs decay at
+    the same *batch* boundary (reference steps both schedulers once per
+    batch, stage_1_train_fn.py:187-192)."""
+    from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1System
+
+    n_critic = 5
+    cfg = Stage1Config.tiny(n_critic=n_critic, sched_step=10)
+    system = Stage1System(cfg)
+    gen_sched = schedules.step_lr(cfg.lr, cfg.sched_step, cfg.sched_gamma)
+    critic_sched = schedules.step_lr(
+        cfg.lr, cfg.sched_step * n_critic, cfg.sched_gamma
+    )
+    for batch in (0, 9, 10, 19, 20, 99, 100):
+        g = float(gen_sched(batch))
+        # every critic update count within this batch must see the same LR
+        for i in range(n_critic):
+            c = float(critic_sched(batch * n_critic + i))
+            np.testing.assert_allclose(c, g, rtol=1e-6)
+    # and the system actually wires the scaled schedule in: with constant
+    # unit gradients the Adam update magnitude tracks the LR, so the
+    # critic's first halving must happen at update sched_step*n_critic,
+    # not at update sched_step (the round-1 bug, ADVICE.md).
+    import jax.numpy as jnp
+
+    params = {"w": jnp.zeros(())}
+    tx = system.tx["critic"]
+    opt = tx.init(params)
+    mags = []
+    for _ in range(cfg.sched_step * n_critic + 1):
+        updates, opt = tx.update({"w": jnp.ones(())}, opt, params)
+        mags.append(abs(float(updates["w"])))
+    # updates 1..sched_step*n_critic ran at base LR (first few are Adam
+    # bias-correction transients; compare the settled region)
+    np.testing.assert_allclose(mags[cfg.sched_step], mags[5], rtol=1e-3)
+    np.testing.assert_allclose(
+        mags[cfg.sched_step * n_critic], mags[5] / 2, rtol=1e-3
+    )
+
+
 def test_optimizers_construct():
     import jax.numpy as jnp
 

@@ -24,7 +24,9 @@ def _make_batch(key, cfg, batch=B):
             kt, (batch, cfg.seq_len), 0, cfg.bert.vocab_size
         ),
         "attention_mask": jnp.ones((batch, cfg.seq_len), jnp.int32),
-        "image": jax.random.uniform(ki, (batch, 64, 64, 3), minval=-1, maxval=1),
+        "image": jax.random.uniform(
+            ki, (batch, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+        ),
     }
 
 

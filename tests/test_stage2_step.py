@@ -21,7 +21,9 @@ def _make_batch(key, cfg):
     return {
         "input_ids": jax.random.randint(kt, (B, cfg.seq_len), 0, cfg.bert.vocab_size),
         "attention_mask": jnp.ones((B, cfg.seq_len), jnp.int32),
-        "image": jax.random.uniform(ki, (B, 256, 256, 3), minval=-1, maxval=1),
+        "image": jax.random.uniform(
+            ki, (B, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+        ),
     }
 
 
@@ -76,7 +78,8 @@ def test_sample_shape(system):
     state = system.init(jax.random.key(0), B)
     batch = _make_batch(jax.random.key(1), system.config)
     out = system.sample(state, batch, jax.random.key(3))
-    assert out.shape == (B, 256, 256, 3)
+    r = system.config.resolution
+    assert out.shape == (B, r, r, 3)
     assert np.asarray(out).min() >= -1.0 and np.asarray(out).max() <= 1.0
 
 

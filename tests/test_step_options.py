@@ -14,7 +14,9 @@ def _batch(cfg):
     return {
         "input_ids": jax.random.randint(kt, (B, cfg.seq_len), 0, cfg.bert.vocab_size),
         "attention_mask": jnp.ones((B, cfg.seq_len), jnp.int32),
-        "image": jax.random.uniform(ki, (B, 64, 64, 3), minval=-1, maxval=1),
+        "image": jax.random.uniform(
+            ki, (B, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+        ),
     }
 
 

@@ -76,7 +76,7 @@ def test_loader_with_precomputed_tem_trains():
     system = Stage2System(cfg)
     state = system.init(jax.random.key(0), 2)
 
-    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
     tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
     captions = [e.caption for e in ds.entries]
     table = precompute_caption_embeddings(

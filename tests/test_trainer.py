@@ -36,7 +36,7 @@ def test_stage1_trainer_epoch(tmp_path):
 
     cfg = Stage1Config.tiny(n_critic=1)
     system = Stage1System(cfg)
-    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=64)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
     tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
     loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
 
@@ -58,6 +58,80 @@ def test_stage1_trainer_epoch(tmp_path):
     assert start2 == 1
 
 
+def test_stage2_trainer_mesh_epoch_with_sampling(tmp_path):
+    """Stage-2 trainer under the 8-device CPU mesh, with the image-grid
+    sampling path exercised on mesh-sharded batches (round-1 gap:
+    system.sample on a sharded batch was never tested under a mesh —
+    VERDICT.md 'What's weak' #8)."""
+    import jax
+    import numpy as np
+
+    from imagegenerator_tpu.train.stage2 import Stage2Config, Stage2System
+    from imagegenerator_tpu.train.trainer import Stage2Trainer
+
+    store = open_store("mem://trainer2-mesh-test")
+    _setup_dataset(store, n_images=16)
+
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = jax.sharding.Mesh(devices, ("data",))
+
+    cfg = Stage2Config.tiny(n_critic=1)
+    system = Stage2System(cfg)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
+    tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
+    loader = DataLoader(ds, tok, batch_size=8, num_workers=2, mesh=mesh)
+
+    options = TrainerOptions(
+        num_epochs=1,
+        save_every_epochs=1,
+        sample_every_steps=1,  # fires at gstep 1 (second batch)
+        checkpoint_dir=str(tmp_path / "ckpt2m"),
+        seed=3,
+    )
+    trainer = Stage2Trainer(system, loader, options, mesh=mesh)
+    state, start = trainer.init_state(batch_size=1)
+    state = trainer.fit(state, start)
+    assert int(np.asarray(state.step)) == 2  # 16 samples / global batch 8
+
+
+def test_stage2_trainer_tem_batches_sample_safe(tmp_path):
+    """With precomputed-embedding batches ({'tem','image'}) the sampling
+    path must use the tem variant instead of crashing on missing
+    input_ids (ADVICE.md round-1 finding)."""
+    import jax
+    import numpy as np
+
+    from imagegenerator_tpu.data.text_cache import (
+        PrecomputedTextDataset,
+        TemCollate,
+        precompute_caption_embeddings,
+    )
+    from imagegenerator_tpu.train.stage2 import Stage2Config, Stage2System
+    from imagegenerator_tpu.train.trainer import Stage2Trainer
+
+    store = open_store("mem://trainer2-tem-test")
+    _setup_dataset(store)
+
+    cfg = Stage2Config.tiny(n_critic=1)
+    system = Stage2System(cfg)
+    state0 = system.init(jax.random.key(0), 2)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
+    tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
+    captions = [e.caption for e in ds.entries]
+    table = precompute_caption_embeddings(
+        lambda i, m: system.embed_texts(state0, i, m),
+        tok, captions, cfg.tem_size, batch_size=2, store=store,
+    )
+    loader = DataLoader(
+        PrecomputedTextDataset(ds, table), TemCollate(), batch_size=2, num_workers=2
+    )
+    options = TrainerOptions(num_epochs=1, sample_every_steps=1, seed=3)
+    trainer = Stage2Trainer(system, loader, options)
+    state, start = trainer.init_state(batch_size=2)
+    state = trainer.fit(state, start)
+    assert int(np.asarray(state.step)) == 2
+
+
 def test_stage2_trainer_epoch(tmp_path):
     """Stage-2 trainer end-to-end: 256px synthetic data, image sampling
     via the fixed-noise path, checkpoint + resume."""
@@ -69,7 +143,7 @@ def test_stage2_trainer_epoch(tmp_path):
 
     cfg = Stage2Config.tiny(n_critic=1)
     system = Stage2System(cfg)
-    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
     tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
     loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
 

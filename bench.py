@@ -37,7 +37,7 @@ def _fence(tree):
     return float(np.asarray(jnp.ravel(leaf)[0]))
 
 
-def _emit(metric, value, unit):
+def _emit(metric, value, unit, **extra):
     vs_baseline = 1.0
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
@@ -46,16 +46,62 @@ def _emit(metric, value, unit):
             vs_baseline = value / float(base["value"])
     except (OSError, ValueError):
         pass
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+    record = {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    record.update(extra)
+    print(json.dumps(record))
+
+
+# bf16 matmul peak per chip, by device_kind substring (the roofline
+# denominators for the MFU number; BENCH_PEAK_TFLOPS overrides).
+_PEAK_TFLOPS = (
+    ("v5 lite", 197.0),  # v5e
+    ("v5e", 197.0),
+    ("v5p", 459.0),
+    ("v6", 918.0),  # Trillium
+    ("v4", 275.0),
+    ("v3", 123.0),
+)
+
+
+def _peak_flops() -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, tf in _PEAK_TFLOPS:
+        if sub in kind:
+            return tf * 1e12
+    return 0.0  # unknown device: mfu omitted
+
+
+def _mfu_extras(compiled, per_step_seconds: float) -> dict:
+    """MFU + achieved TFLOP/s from the compiled executable's own cost
+    analysis (per-execution FLOPs of the optimized HLO — exact for the
+    fully-unrolled critic loop; VERDICT.md round-1 asked for an analytic
+    FLOPs/step -> MFU number next to img/s)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        return {}
+    if flops <= 0:
+        return {}
+    achieved = flops / per_step_seconds
+    extras = {
+        "flops_per_step": flops,
+        "tflops_per_sec": round(achieved / 1e12, 2),
+    }
+    peak = _peak_flops()
+    if peak > 0:
+        extras["mfu"] = round(achieved / peak, 4)
+    return extras
 
 
 def bench_v2():
@@ -104,14 +150,24 @@ def bench_v2():
     weights = jnp.ones((batch, 1))
     stops = jnp.full((batch, 1), -np.inf)
 
-    state, losses = engine.step(state, jax.random.key(3), embeds, weights, stops)
+    # AOT-compile the fused step for the executable-level FLOPs count
+    step_fn = type(engine)._step_impl
+    compiled = step_fn.lower(
+        engine, vq_params, clip_params, state, jax.random.key(3),
+        embeds, weights, stops,
+    ).compile()
+
+    state, losses = compiled(
+        vq_params, clip_params, state, jax.random.key(3), embeds, weights, stops
+    )
     _fence(losses)
 
     def timed(n, state):
         t0 = time.perf_counter()
         for i in range(n):
-            state, losses = engine.step(
-                state, jax.random.fold_in(jax.random.key(4), i), embeds, weights, stops
+            state, losses = compiled(
+                vq_params, clip_params, state,
+                jax.random.fold_in(jax.random.key(4), i), embeds, weights, stops,
             )
         _fence(losses)
         return time.perf_counter() - t0, state
@@ -119,7 +175,12 @@ def bench_v2():
     d1, state = timed(steps, state)
     d2, state = timed(2 * steps, state)
     per_step = max((d2 - d1) / steps, 1e-9)
-    _emit("vqgan_clip_latent_opt_steps_per_sec", batch / per_step, "steps/sec")
+    _emit(
+        "vqgan_clip_latent_opt_steps_per_sec",
+        batch / per_step,
+        "steps/sec",
+        **_mfu_extras(compiled, per_step),
+    )
 
 
 def bench_stage1():
@@ -153,20 +214,82 @@ def bench_stage1():
         ),
     }
     step = make_train_step(system, donate=True)
-    state, metrics = step(state, data, jax.random.key(2))
+    compiled = step.lower(state, data, jax.random.key(2)).compile()
+    state, metrics = compiled(state, data, jax.random.key(2))
     _fence(metrics)
 
     def timed(n, state):
         t0 = time.perf_counter()
         for i in range(n):
-            state, metrics = step(state, data, jax.random.fold_in(jax.random.key(3), i))
+            state, metrics = compiled(
+                state, data, jax.random.fold_in(jax.random.key(3), i)
+            )
         _fence(metrics)
         return time.perf_counter() - t0, state
 
     d1, state = timed(steps, state)
     d2, state = timed(2 * steps, state)
     per_step = max((d2 - d1) / steps, 1e-9)
-    _emit("stage1_64px_train_images_per_sec_per_chip", batch / per_step, "images/sec/chip")
+    _emit(
+        "stage1_64px_train_images_per_sec_per_chip",
+        batch / per_step,
+        "images/sec/chip",
+        **_mfu_extras(compiled, per_step),
+    )
+
+
+def bench_host():
+    """Host data-pipeline throughput: synthetic ~640px JPEGs (COCO-like)
+    decoded + resized + tokenized + collated through the DataLoader's
+    cross-batch pipeline — no device compute. This is the feed rate the
+    device-side img/s headline must be sustained by
+    (reference prefetch stack: data_loader.py:97-106 + train.py:126-132)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from imagegenerator_tpu.data import (
+        CocoCaptions,
+        DataLoader,
+        HashTokenizer,
+        open_store,
+    )
+
+    n = int(os.environ.get("BENCH_HOST_IMAGES", "768"))
+    res = int(os.environ.get("BENCH_HOST_RES", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    workers = int(os.environ.get("BENCH_HOST_WORKERS", "16"))
+
+    store = open_store("mem://bench-host")
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    for i in range(n):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=90)
+        store.write_bytes(f"imgs/{i}.jpg", buf.getvalue())
+        images.append({"id": i, "file_name": f"{i}.jpg"})
+        anns.append({"image_id": i, "caption": f"a synthetic benchmark photo {i}"})
+    store.write_text(
+        "ann/captions.json",
+        json.dumps({"images": images, "annotations": anns}),
+    )
+
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=res)
+    tok = HashTokenizer(max_length=128)
+    loader = DataLoader(ds, tok, batch_size=batch, num_workers=workers)
+
+    # warm one epoch (thread pools, PIL caches), then time one
+    for _ in loader._host_batches():
+        pass
+    t0 = time.perf_counter()
+    count = 0
+    for b in loader._host_batches():
+        count += b["image"].shape[0]
+    dt = time.perf_counter() - t0
+    _emit("host_pipeline_images_per_sec", count / dt, "images/sec")
 
 
 def main():
@@ -176,6 +299,9 @@ def main():
         return
     if target == "stage1":
         bench_stage1()
+        return
+    if target == "host":
+        bench_host()
         return
     # Batch 128 is the measured best single-chip operating point (batch 32
     # = the reference per-replica config runs ~38% slower - the 256px
@@ -218,7 +344,10 @@ def main():
         batch_data = {"tem": tem, "image": batch_data["image"]}
     batch_data = jax.device_put(batch_data)
 
+    # AOT path: one compile, and the executable's cost analysis gives the
+    # per-step FLOPs for the MFU number.
     step = make_train_step(system, donate=True)
+    compiled = step.lower(state, batch_data, jax.random.key(2)).compile()
 
     def fence(x):
         # On the tunneled axon platform block_until_ready does not
@@ -227,14 +356,14 @@ def main():
 
         return float(np.asarray(x["loss_gen"]))
 
-    # warmup / compile
-    state, metrics = step(state, batch_data, jax.random.key(2))
+    # warmup
+    state, metrics = compiled(state, batch_data, jax.random.key(2))
     fence(metrics)
 
     def timed(n, state):
         t0 = time.perf_counter()
         for i in range(n):
-            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+            state, metrics = compiled(state, batch_data, jax.random.fold_in(key, i))
         fence(metrics)
         return time.perf_counter() - t0, state
 
@@ -248,6 +377,7 @@ def main():
         "stage2_256px_train_images_per_sec_per_chip",
         batch / per_step,
         "images/sec/chip",
+        **_mfu_extras(compiled, per_step),
     )
 
 

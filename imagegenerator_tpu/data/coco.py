@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -47,17 +48,27 @@ def build_manifest(store: BlobStore, ann_file: str) -> list[ManifestEntry]:
 def decode_resize_normalize(data: bytes, size: int) -> np.ndarray:
     """JPEG/PNG bytes -> float32 NHWC image in [-1, 1] at (size, size).
 
-    Matches ToTensor -> Resize(size) -> Normalize(0.5, 0.5): bilinear
-    resize of the [0,1] image then (x - 0.5) / 0.5. Uses the native
-    fused resize+normalize kernel (native/host_ops.cpp) when built;
-    falls back to PIL+numpy.
+    Matches PIL ToTensor -> Resize(size, BILINEAR) -> Normalize(0.5,
+    0.5). The native kernel (native/host_ops.cpp) implements the SAME
+    antialiased triangle resample as PIL's BILINEAR — round 1's native
+    path was a plain 2-tap lookup that aliased badly on COCO's ~640px ->
+    64px downscale (ADVICE.md) — so native and PIL paths now agree to
+    ~1/255 per pixel. For JPEGs the whole decode+resample chain runs in
+    C++ (GIL-free); set IMAGEGEN_FAST_DCT=1 for DCT-domain scaled decode
+    (~3-4x faster, slightly different but still antialiased pixels).
     """
+    from imagegenerator_tpu.data import native
+
+    if data[:2] == b"\xff\xd8" and native.available():
+        out = native.decode_jpeg_resize_normalize(
+            data, size, fast_dct=os.environ.get("IMAGEGEN_FAST_DCT") == "1"
+        )
+        if out is not None:
+            return out
+
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
-
-    from imagegenerator_tpu.data import native
-
     if native.available():
         return native.resize_normalize(np.asarray(img, np.uint8), size)
 

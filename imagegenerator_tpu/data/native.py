@@ -33,13 +33,23 @@ def _build() -> str | None:
         return _LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", _SRC, "-o", _LIB_PATH,
+        "-pthread", _SRC, "-o", _LIB_PATH, "-ljpeg",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB_PATH
     except (OSError, subprocess.SubprocessError):
-        return None
+        # retry without libjpeg (header/lib missing on some hosts):
+        # the decode entry point then reports unavailable and callers
+        # use the PIL decode path
+        try:
+            subprocess.run(
+                cmd[:-1] + ["-DHOST_OPS_NO_JPEG"],
+                check=True, capture_output=True, timeout=120,
+            )
+            return _LIB_PATH
+        except (OSError, subprocess.SubprocessError):
+            return None
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -62,6 +72,15 @@ def get_lib() -> ctypes.CDLL | None:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
+                try:
+                    lib.decode_jpeg_resize_normalize.argtypes = [
+                        u8p, ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_float),
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ]
+                    lib.decode_jpeg_resize_normalize.restype = ctypes.c_int
+                except AttributeError:
+                    pass
                 _LIB = lib
         return _LIB
 
@@ -70,8 +89,33 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def decode_jpeg_resize_normalize(
+    data: bytes, size: int, channels: int = 3, fast_dct: bool = False
+) -> np.ndarray | None:
+    """JPEG bytes -> float32 (size, size, C) in [-1, 1], fully in C++
+    (decode + antialiased resample + normalize; the ctypes call releases
+    the GIL so loader threads scale across host cores). ``fast_dct``
+    enables DCT-domain scaled decode (~3-4x faster for COCO 640px ->
+    256px; slightly different but still antialiased pixels). Returns
+    None when the decode fails or the library lacks libjpeg — callers
+    fall back to PIL."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "decode_jpeg_resize_normalize"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((size, size, channels), np.float32)
+    rc = lib.decode_jpeg_resize_normalize(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, size, channels, int(fast_dct),
+    )
+    return out if rc == 0 else None
+
+
 def resize_normalize(img_u8: np.ndarray, size: int) -> np.ndarray:
-    """uint8 HWC -> float32 (size, size, C) in [-1, 1] (bilinear)."""
+    """uint8 HWC -> float32 (size, size, C) in [-1, 1] (antialiased
+    triangle resample, PIL BILINEAR semantics)."""
     lib = get_lib()
     assert lib is not None, "native host_ops unavailable"
     img_u8 = np.ascontiguousarray(img_u8)

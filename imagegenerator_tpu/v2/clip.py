@@ -33,10 +33,11 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int = 512
-    # vision
+    # vision: ``vision_layers`` int = ViT depth; tuple = ModifiedResNet
+    # stage depths (the same convention as OpenAI's build_model)
     image_resolution: int = 224
     vision_width: int = 768
-    vision_layers: int = 12
+    vision_layers: Any = 12
     vision_heads: int = 12
     patch_size: int = 32
     # text
@@ -46,6 +47,10 @@ class CLIPConfig:
     text_layers: int = 12
     text_heads: int = 8
 
+    @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
+
     @classmethod
     def vit_b32(cls) -> "CLIPConfig":
         return cls()
@@ -53,6 +58,24 @@ class CLIPConfig:
     @classmethod
     def vit_b16(cls) -> "CLIPConfig":
         return cls(patch_size=16)
+
+    @classmethod
+    def rn50(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=1024,
+            vision_width=64,
+            vision_layers=(3, 4, 6, 3),
+            vision_heads=32,  # width * 32 // 64
+        )
+
+    @classmethod
+    def rn101(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=512,
+            vision_width=64,
+            vision_layers=(3, 4, 23, 3),
+            vision_heads=32,
+        )
 
     @classmethod
     def vit_l14(cls) -> "CLIPConfig":
@@ -173,6 +196,142 @@ class VisionTransformer(nn.Module):
         return jnp.dot(x, proj.astype(x.dtype), preferred_element_type=x.dtype)
 
 
+class _FrozenBN(nn.Module):
+    """Eval-mode BatchNorm as a frozen affine over running statistics
+    (torch eps 1e-5). CLIP is always a frozen perceptor in this framework
+    (reference generate.py:74-76 freezes it), so there is no train-mode
+    BN state to carry."""
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean = self.param("mean", nn.initializers.zeros, (f,))
+        var = self.param("var", nn.initializers.ones, (f,))
+        inv = (scale / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+        return x * inv + (bias - mean * scale / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+
+
+class _Bottleneck(nn.Module):
+    """CLIP's modified ResNet bottleneck: stride-2 happens via an
+    AvgPool AFTER conv2 (anti-aliased downsampling), and the shortcut
+    downsample is AvgPool -> 1x1 conv -> BN."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = None
+    EXPANSION = 4
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(use_bias=False, dtype=self.dtype)
+        out_ch = self.planes * self.EXPANSION
+
+        h = nn.Conv(self.planes, (1, 1), name="conv1", **kw)(x)
+        h = jax.nn.relu(_FrozenBN(self.dtype, name="bn1")(h))
+        h = nn.Conv(self.planes, (3, 3), padding=1, name="conv2", **kw)(h)
+        h = jax.nn.relu(_FrozenBN(self.dtype, name="bn2")(h))
+        if self.stride > 1:
+            h = nn.avg_pool(h, (self.stride,) * 2, strides=(self.stride,) * 2)
+        h = nn.Conv(out_ch, (1, 1), name="conv3", **kw)(h)
+        h = _FrozenBN(self.dtype, name="bn3")(h)
+
+        if self.stride > 1 or x.shape[-1] != out_ch:
+            idn = (
+                nn.avg_pool(x, (self.stride,) * 2, strides=(self.stride,) * 2)
+                if self.stride > 1
+                else x
+            )
+            idn = nn.Conv(out_ch, (1, 1), name="downsample_conv", **kw)(idn)
+            idn = _FrozenBN(self.dtype, name="downsample_bn")(idn)
+        else:
+            idn = x
+        return jax.nn.relu(h + idn)
+
+
+class _AttentionPool2d(nn.Module):
+    """CLIP's attention pooling head: tokens = flattened feature map with
+    a mean token prepended + learned positional embedding; one multi-head
+    attention with the mean token as the only query; c_proj to embed_dim."""
+
+    embed_dim: int
+    heads: int
+    output_dim: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            lambda k, s: jax.random.normal(k, s) / np.sqrt(self.embed_dim),
+            (H * W + 1, C),
+        )
+        x = x + pos.astype(x.dtype)
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(x[:, :1])
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(x)
+        hd = self.embed_dim // self.heads
+        q = q.reshape(B, 1, self.heads, hd)
+        k = k.reshape(B, -1, self.heads, hd)
+        v = v.reshape(B, -1, self.heads, hd)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, 1, self.embed_dim)
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(ctx)
+        return out[:, 0, :]
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's RN image tower (RN50/RN101): 3-conv anti-aliased stem with
+    an avg-pool, 4 bottleneck stages, attention-pool head. Supports the
+    reference's ``clip.load('RN50'/'RN101')`` path (generate.py:74-75,
+    ``-m`` flag arg_parser.py:33-38) that round 1 rejected."""
+
+    config: CLIPConfig
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, images):
+        c = self.config
+        w = c.vision_width
+        kw = dict(use_bias=False, dtype=self.dtype)
+
+        x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, name="conv1", **kw)(images)
+        x = jax.nn.relu(_FrozenBN(self.dtype, name="bn1")(x))
+        x = nn.Conv(w // 2, (3, 3), padding=1, name="conv2", **kw)(x)
+        x = jax.nn.relu(_FrozenBN(self.dtype, name="bn2")(x))
+        x = nn.Conv(w, (3, 3), padding=1, name="conv3", **kw)(x)
+        x = jax.nn.relu(_FrozenBN(self.dtype, name="bn3")(x))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        for stage, blocks in enumerate(c.vision_layers):
+            planes = w * 2 ** stage
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                x = _Bottleneck(
+                    planes,
+                    stride=stride if b == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+
+        return _AttentionPool2d(
+            embed_dim=w * 32,
+            heads=c.vision_heads,
+            output_dim=c.embed_dim,
+            dtype=self.dtype,
+            name="attnpool",
+        )(x)
+
+
 class TextTransformer(nn.Module):
     config: CLIPConfig
     dtype: Dtype = None
@@ -210,7 +369,10 @@ class CLIP(nn.Module):
     dtype: Dtype = None
 
     def setup(self):
-        self.visual = VisionTransformer(self.config, self.dtype)
+        if self.config.is_resnet:
+            self.visual = ModifiedResNet(self.config, self.dtype)
+        else:
+            self.visual = VisionTransformer(self.config, self.dtype)
         self.text = TextTransformer(self.config, self.dtype)
 
     def encode_image(self, images):

@@ -122,13 +122,60 @@ def convert_vqgan_params(sd: dict, config: VQGANConfig) -> dict:
 
 
 # ---------------------------------------------------------------- CLIP
+def _bn(sd, name):
+    return {
+        "scale": _np(sd[f"{name}.weight"]),
+        "bias": _np(sd[f"{name}.bias"]),
+        "mean": _np(sd[f"{name}.running_mean"]),
+        "var": _np(sd[f"{name}.running_var"]),
+    }
+
+
+def _rn_text_kwargs(sd: dict) -> dict:
+    text_width = sd["ln_final.weight"].shape[0]
+    text_layers = (
+        max(int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks."))
+        + 1
+    )
+    return dict(
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        context_length=sd["positional_embedding"].shape[0],
+        text_width=text_width,
+        text_layers=text_layers,
+        text_heads=max(1, text_width // 64),
+    )
+
+
 def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
     """Infer the architecture from an OpenAI CLIP state_dict (the same
-    derivation clip.build_model does)."""
+    derivation clip.build_model does). Handles both ViT and modified-
+    ResNet (RN50/RN101) image towers."""
     if not any(k.startswith("visual.transformer.") for k in sd):
-        raise ValueError(
-            "only ViT CLIP checkpoints are supported (ViT-B/32, ViT-B/16, "
-            "ViT-L/14); this state_dict looks like a ResNet tower"
+        if "visual.attnpool.c_proj.weight" not in sd:
+            raise ValueError(
+                "unrecognized CLIP state_dict: neither a ViT "
+                "(visual.transformer.*) nor a modified-ResNet "
+                "(visual.attnpool.*) image tower"
+            )
+        # modified ResNet: stage depths from visual.layer{L}.{i}.* keys
+        layers = tuple(
+            max(
+                int(k.split(".")[2])
+                for k in sd
+                if k.startswith(f"visual.layer{stage}.")
+            )
+            + 1
+            for stage in (1, 2, 3, 4)
+        )
+        vision_width = sd["visual.conv1.weight"].shape[0] * 2  # stem is w/2
+        grid = int(round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+        return CLIPConfig(
+            embed_dim=sd["visual.attnpool.c_proj.weight"].shape[0],
+            image_resolution=grid * 32,
+            vision_width=vision_width,
+            vision_layers=layers,
+            vision_heads=max(1, vision_width * 32 // 64),
+            **_rn_text_kwargs(sd),
         )
     vision_width = sd["visual.conv1.weight"].shape[0]
     patch_size = sd["visual.conv1.weight"].shape[-1]
@@ -179,16 +226,50 @@ def convert_clip_params(sd: dict, config: CLIPConfig) -> dict:
             "mlp_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
         }
 
-    visual = {
-        "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": _norm(sd, "visual.ln_pre"),
-        "ln_post": _norm(sd, "visual.ln_post"),
-        "proj": _np(sd["visual.proj"]),
-    }
-    for i in range(config.vision_layers):
-        visual[f"block_{i}"] = block(f"visual.transformer.resblocks.{i}")
+    if config.is_resnet:
+        visual = {
+            "conv1": _conv(sd, "visual.conv1"),
+            "bn1": _bn(sd, "visual.bn1"),
+            "conv2": _conv(sd, "visual.conv2"),
+            "bn2": _bn(sd, "visual.bn2"),
+            "conv3": _conv(sd, "visual.conv3"),
+            "bn3": _bn(sd, "visual.bn3"),
+            "attnpool": {
+                "positional_embedding": _np(
+                    sd["visual.attnpool.positional_embedding"]
+                ),
+                "q_proj": _dense(sd, "visual.attnpool.q_proj"),
+                "k_proj": _dense(sd, "visual.attnpool.k_proj"),
+                "v_proj": _dense(sd, "visual.attnpool.v_proj"),
+                "c_proj": _dense(sd, "visual.attnpool.c_proj"),
+            },
+        }
+        for stage, blocks in enumerate(config.vision_layers):
+            for b in range(blocks):
+                p = f"visual.layer{stage + 1}.{b}"
+                bp = {
+                    "conv1": _conv(sd, f"{p}.conv1"),
+                    "bn1": _bn(sd, f"{p}.bn1"),
+                    "conv2": _conv(sd, f"{p}.conv2"),
+                    "bn2": _bn(sd, f"{p}.bn2"),
+                    "conv3": _conv(sd, f"{p}.conv3"),
+                    "bn3": _bn(sd, f"{p}.bn3"),
+                }
+                if f"{p}.downsample.0.weight" in sd:
+                    bp["downsample_conv"] = _conv(sd, f"{p}.downsample.0")
+                    bp["downsample_bn"] = _bn(sd, f"{p}.downsample.1")
+                visual[f"layer{stage + 1}_{b}"] = bp
+    else:
+        visual = {
+            "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": _norm(sd, "visual.ln_pre"),
+            "ln_post": _norm(sd, "visual.ln_post"),
+            "proj": _np(sd["visual.proj"]),
+        }
+        for i in range(config.vision_layers):
+            visual[f"block_{i}"] = block(f"visual.transformer.resblocks.{i}")
 
     text = {
         "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},

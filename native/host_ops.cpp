@@ -1,81 +1,223 @@
 // Native host-side data-pipeline kernels.
 //
 // The hot host path of v1 training is per-sample image preparation:
-// decoded uint8 HWC -> resized float32 [-1, 1] tensor (the reference's
-// ToTensor+Resize+Normalize transform chain, executed per item in torch
-// DataLoader workers). This library fuses resize + dtype conversion +
-// normalization into one pass over the output, with a std::thread
-// parallel-for for batch collation straight into the pinned staging
-// buffer that feeds jax.device_put.
+// JPEG bytes -> decoded uint8 HWC -> resized float32 [-1, 1] tensor (the
+// reference's per-item PIL decode + ToTensor+Resize+Normalize transform
+// chain, /root/reference/data_loader.py:41-44 + train.py:40-54). This
+// library fuses the whole chain in C++ (called through ctypes, which
+// releases the GIL, so Python worker threads scale across cores):
 //
-// Exposed C ABI (loaded from Python via ctypes, see
-// imagegenerator_tpu/data/native.py):
-//   resize_normalize_u8_to_f32(...)        one image
-//   batch_resize_normalize_u8_to_f32(...)  N images -> one batch buffer
+//   * decode_jpeg_resize_normalize: libjpeg decode -> antialiased
+//     triangle (PIL "BILINEAR") resample -> [-1,1] float32, one pass.
+//     Optional DCT-domain scaling (fast_dct) decodes directly at 1/2,
+//     1/4... resolution when the target is much smaller than the source
+//     — a large decode-time win for COCO's ~640px -> 64/256px.
+//   * resample_normalize_u8_to_f32: the same antialiased resample for
+//     already-decoded images (PNG etc.). This replaces round 1's plain
+//     2-tap bilinear lookup, which diverged from PIL's area-averaging
+//     filter on large downscales (ADVICE.md round-1 finding) — both the
+//     native and PIL paths now implement the same triangle filter.
+//   * batch_resample_normalize_u8_to_f32: N images -> one batch buffer
+//     with a std::thread parallel-for.
+//
+// Exposed C ABI is loaded from Python via ctypes
+// (imagegenerator_tpu/data/native.py).
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
+#include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#ifndef HOST_OPS_NO_JPEG
+#include <jpeglib.h>
+#endif
+
 namespace {
 
-// Bilinear resize of an HWC uint8 image into an HWC float32 buffer,
-// mapping [0,255] -> [-1,1] in the same pass (scale = 2/255, bias = -1).
-void resize_normalize_one(const uint8_t* src, int sh, int sw, int channels,
-                          float* dst, int th, int tw) {
-  // torch/PIL-style half-pixel centers (align_corners=false).
-  const float y_ratio = static_cast<float>(sh) / th;
-  const float x_ratio = static_cast<float>(sw) / tw;
+// ---------------------------------------------------------------------
+// Antialiased separable resample with a triangle (linear) filter —
+// PIL's Image.BILINEAR semantics (support scales with the downscale
+// factor, so minification averages over the full source footprint
+// instead of point-sampling 2 taps).
+struct ResampleCoeffs {
+  std::vector<int> bounds;      // (out, 2): first source index, count
+  std::vector<float> weights;   // (out, kmax)
+  int kmax = 0;
+};
+
+ResampleCoeffs triangle_coeffs(int in_size, int out_size) {
+  ResampleCoeffs rc;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle filter support
+  rc.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
+  rc.bounds.resize(out_size * 2);
+  rc.weights.assign(static_cast<size_t>(out_size) * rc.kmax, 0.0f);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double total = 0.0;
+    float* w = rc.weights.data() + static_cast<size_t>(xx) * rc.kmax;
+    for (int x = xmin; x < xmax; ++x) {
+      const double t = std::abs((x - center + 0.5) / filterscale);
+      const double v = t < 1.0 ? 1.0 - t : 0.0;
+      w[x - xmin] = static_cast<float>(v);
+      total += v;
+    }
+    if (total > 0.0) {
+      for (int x = 0; x < xmax - xmin; ++x)
+        w[x] = static_cast<float>(w[x] / total);
+    }
+    rc.bounds[xx * 2] = xmin;
+    rc.bounds[xx * 2 + 1] = xmax - xmin;
+  }
+  return rc;
+}
+
+// HWC uint8 -> HWC float32 in [-1, 1] with the triangle resample.
+void resample_normalize_one(const uint8_t* src, int sh, int sw, int channels,
+                            float* dst, int th, int tw) {
   constexpr float kScale = 2.0f / 255.0f;
+  const ResampleCoeffs cx = triangle_coeffs(sw, tw);
+  const ResampleCoeffs cy = triangle_coeffs(sh, th);
 
-  for (int ty = 0; ty < th; ++ty) {
-    float fy = (ty + 0.5f) * y_ratio - 0.5f;
-    fy = std::max(0.0f, std::min(fy, static_cast<float>(sh - 1)));
-    const int y0 = static_cast<int>(fy);
-    const int y1 = std::min(y0 + 1, sh - 1);
-    const float wy = fy - y0;
-
-    float* out_row = dst + static_cast<int64_t>(ty) * tw * channels;
-    const uint8_t* row0 = src + static_cast<int64_t>(y0) * sw * channels;
-    const uint8_t* row1 = src + static_cast<int64_t>(y1) * sw * channels;
-
-    for (int tx = 0; tx < tw; ++tx) {
-      float fx = (tx + 0.5f) * x_ratio - 0.5f;
-      fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, sw - 1);
-      const float wx = fx - x0;
-
-      const float w00 = (1 - wy) * (1 - wx);
-      const float w01 = (1 - wy) * wx;
-      const float w10 = wy * (1 - wx);
-      const float w11 = wy * wx;
-
-      const uint8_t* p00 = row0 + x0 * channels;
-      const uint8_t* p01 = row0 + x1 * channels;
-      const uint8_t* p10 = row1 + x0 * channels;
-      const uint8_t* p11 = row1 + x1 * channels;
-      float* out = out_row + tx * channels;
-
+  // horizontal pass: (sh, sw, c) u8 -> (sh, tw, c) f32
+  std::vector<float> tmp(static_cast<size_t>(sh) * tw * channels);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<int64_t>(y) * sw * channels;
+    float* out_row = tmp.data() + static_cast<int64_t>(y) * tw * channels;
+    for (int x = 0; x < tw; ++x) {
+      const int xmin = cx.bounds[x * 2];
+      const int cnt = cx.bounds[x * 2 + 1];
+      const float* w = cx.weights.data() + static_cast<size_t>(x) * cx.kmax;
       for (int c = 0; c < channels; ++c) {
-        const float v =
-            w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
-        out[c] = v * kScale - 1.0f;
+        float acc = 0.0f;
+        const uint8_t* p = row + static_cast<int64_t>(xmin) * channels + c;
+        for (int k = 0; k < cnt; ++k) acc += w[k] * p[k * channels];
+        out_row[x * channels + c] = acc;
       }
     }
   }
+  // vertical pass: (sh, tw, c) f32 -> (th, tw, c) f32, fused normalize
+  const int row_elems = tw * channels;
+  for (int y = 0; y < th; ++y) {
+    const int ymin = cy.bounds[y * 2];
+    const int cnt = cy.bounds[y * 2 + 1];
+    const float* w = cy.weights.data() + static_cast<size_t>(y) * cy.kmax;
+    float* out_row = dst + static_cast<int64_t>(y) * row_elems;
+    std::memset(out_row, 0, sizeof(float) * row_elems);
+    for (int k = 0; k < cnt; ++k) {
+      const float wk = w[k];
+      const float* in_row =
+          tmp.data() + static_cast<int64_t>(ymin + k) * row_elems;
+      for (int i = 0; i < row_elems; ++i) out_row[i] += wk * in_row[i];
+    }
+    for (int i = 0; i < row_elems; ++i)
+      out_row[i] = out_row[i] * kScale - 1.0f;
+  }
 }
+
+// ---------------------------------------------------------------------
+// libjpeg decode with error-trap (no exit() on corrupt input).
+#ifndef HOST_OPS_NO_JPEG
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+// Decode JPEG bytes, optionally with DCT-domain scaling so the decoded
+// image is the smallest 1/1..1/8 scale still >= (th, tw) on both axes,
+// then triangle-resample + normalize into dst. Returns 0 on success.
+int decode_jpeg_impl(const uint8_t* data, int64_t len, float* dst, int th,
+                     int tw, int channels, int fast_dct) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  if (fast_dct) {
+    // pick denom d in {1..8} (scale 8/d... libjpeg uses num/denom with
+    // denom 8): largest reduction keeping decoded >= target
+    const int full_w = cinfo.image_width, full_h = cinfo.image_height;
+    int num = 8;
+    while (num > 1 && (full_w * (num - 1)) / 8 >= tw &&
+           (full_h * (num - 1)) / 8 >= th) {
+      --num;
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+    cinfo.dct_method = JDCT_IFAST;
+    cinfo.do_fancy_upsampling = FALSE;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int dw = cinfo.output_width, dh = cinfo.output_height;
+  const int dc = cinfo.output_components;
+  std::vector<uint8_t> buf(static_cast<size_t>(dw) * dh * dc);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = buf.data() +
+                    static_cast<size_t>(cinfo.output_scanline) * dw * dc;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (dc != channels) return 3;
+  resample_normalize_one(buf.data(), dh, dw, channels, dst, th, tw);
+  return 0;
+}
+#else
+int decode_jpeg_impl(const uint8_t*, int64_t, float*, int, int, int, int) {
+  return -1;  // built without libjpeg
+}
+#endif  // HOST_OPS_NO_JPEG
 
 }  // namespace
 
 extern "C" {
 
+// Antialiased resample + normalize (PIL BILINEAR semantics).
+void resample_normalize_u8_to_f32(const uint8_t* src, int sh, int sw,
+                                  int channels, float* dst, int th, int tw) {
+  resample_normalize_one(src, sh, sw, channels, dst, th, tw);
+}
+
+// Back-compat alias (round-1 name); now antialiased like the PIL path.
 void resize_normalize_u8_to_f32(const uint8_t* src, int sh, int sw,
                                 int channels, float* dst, int th, int tw) {
-  resize_normalize_one(src, sh, sw, channels, dst, th, tw);
+  resample_normalize_one(src, sh, sw, channels, dst, th, tw);
+}
+
+// JPEG bytes -> (th, tw, channels) float32 in [-1, 1].
+// fast_dct != 0 enables DCT-domain scaled decode (decodes at the
+// smallest 1/8-granular scale still >= target — ~3-4x faster for COCO
+// 640px -> 256px, at slightly different (but still antialiased) pixel
+// values; keep 0 for bit-parity with the PIL decode path).
+// Returns 0 on success, nonzero on decode failure (caller falls back).
+int decode_jpeg_resize_normalize(const uint8_t* data, int64_t len,
+                                 float* dst, int th, int tw, int channels,
+                                 int fast_dct) {
+  return decode_jpeg_impl(data, len, dst, th, tw, channels, fast_dct);
 }
 
 // srcs: array of N pointers to HWC uint8 images with per-image shapes
@@ -95,8 +237,8 @@ void batch_resize_normalize_u8_to_f32(const uint8_t* const* srcs,
       while (true) {
         const int i = counter.fetch_add(1);
         if (i >= n) return;
-        resize_normalize_one(srcs[i], shs[i], sws[i], channels,
-                             dst + i * per_image, th, tw);
+        resample_normalize_one(srcs[i], shs[i], sws[i], channels,
+                               dst + i * per_image, th, tw);
       }
     });
   }

@@ -83,6 +83,43 @@ def test_load_clip_from_file(tmp_path):
     assert "visual" in params and "text" in params
 
 
+def test_load_clip_rn_from_file(tmp_path):
+    """RN50-style checkpoints load through the same path (round-1 gap:
+    ResNet towers were rejected — VERDICT.md 'What's missing' #4)."""
+    from tests.test_convert_parity import (
+        TModifiedResNet,
+        _clip_state_dict,
+        _rn_tiny_cfg,
+    )
+
+    cfg = _rn_tiny_cfg()
+    sd = {f"visual.{k}": v for k, v in TModifiedResNet(cfg).state_dict().items()}
+    for k, v in _clip_state_dict(TCLIP(CLIPConfig.tiny())).items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    ckpt = tmp_path / "rn.pt"
+    torch.save(sd, ckpt)
+    import jax
+
+    loaded_cfg, params = load_clip("RN50", str(ckpt), jax.random.key(0))
+    assert loaded_cfg.is_resnet
+    assert "attnpool" in params["visual"]
+
+    # the loaded tower runs end-to-end through encode_image
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagegenerator_tpu.v2.clip import CLIP
+
+    out = CLIP(loaded_cfg).apply(
+        {"params": params},
+        jnp.zeros((1, loaded_cfg.image_resolution, loaded_cfg.image_resolution, 3)),
+        method=CLIP.encode_image,
+    )
+    assert out.shape == (1, loaded_cfg.embed_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_generate_cli_with_real_checkpoints(tmp_path, vqgan_files):
     """Full CLI run loading the torch VQGAN ckpt + CLIP ckpt from disk."""
     conf, ckpt, cfg = vqgan_files

@@ -368,6 +368,184 @@ def test_clip_text_parity(clip_pair):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
-def test_resnet_clip_rejected():
-    with pytest.raises(ValueError, match="ViT"):
-        convert.clip_config_from_state_dict({"visual.conv1.weight": np.zeros((64, 3, 7, 7))})
+def test_unrecognized_clip_rejected():
+    with pytest.raises(ValueError, match="unrecognized"):
+        convert.clip_config_from_state_dict(
+            {"visual.conv1.weight": np.zeros((64, 3, 7, 7))}
+        )
+
+
+# ------------------------------------------------- modified-ResNet oracle
+from collections import OrderedDict  # noqa: E402
+
+
+class TBottleneck(nn.Module):
+    """OpenAI CLIP Bottleneck with exact naming (conv1/bn1/.../downsample)."""
+
+    EXP = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+        self.conv3 = nn.Conv2d(planes, planes * self.EXP, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.EXP)
+        self.stride = stride
+        self.downsample = None
+        if stride > 1 or inplanes != planes * self.EXP:
+            self.downsample = nn.Sequential(
+                OrderedDict(
+                    [
+                        ("-1", nn.AvgPool2d(stride) if stride > 1 else nn.Identity()),
+                        ("0", nn.Conv2d(inplanes, planes * self.EXP, 1, bias=False)),
+                        ("1", nn.BatchNorm2d(planes * self.EXP)),
+                    ]
+                )
+            )
+
+    def forward(self, x):
+        idn = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idn = self.downsample(x)
+        return F.relu(out + idn)
+
+
+class TAttentionPool2d(nn.Module):
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = nn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5
+        )
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):  # (N, C, H, W)
+        N, C, H, W = x.shape
+        x = x.reshape(N, C, H * W).permute(0, 2, 1)  # (N, HW, C)
+        x = torch.cat([x.mean(dim=1, keepdim=True), x], dim=1)
+        x = x + self.positional_embedding[None]
+        q = self.q_proj(x[:, :1])
+        k = self.k_proj(x)
+        v = self.v_proj(x)
+        hd = C // self.num_heads
+        q = q.reshape(N, 1, self.num_heads, hd).permute(0, 2, 1, 3)
+        k = k.reshape(N, -1, self.num_heads, hd).permute(0, 2, 1, 3)
+        v = v.reshape(N, -1, self.num_heads, hd).permute(0, 2, 1, 3)
+        attn = torch.softmax(q @ k.transpose(-1, -2) / hd ** 0.5, dim=-1)
+        ctx = (attn @ v).permute(0, 2, 1, 3).reshape(N, 1, C)
+        return self.c_proj(ctx)[:, 0]
+
+
+class TModifiedResNet(nn.Module):
+    """CLIP RN image tower with exact OpenAI naming, mounted at `visual.`"""
+
+    def __init__(self, cfg: CLIPConfig):
+        super().__init__()
+        w = cfg.vision_width
+        self.conv1 = nn.Conv2d(3, w // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(w // 2)
+        self.conv2 = nn.Conv2d(w // 2, w // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(w // 2)
+        self.conv3 = nn.Conv2d(w // 2, w, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(w)
+        self.avgpool = nn.AvgPool2d(2)
+        inplanes = w
+        for stage, blocks in enumerate(cfg.vision_layers):
+            planes = w * 2 ** stage
+            stride = 1 if stage == 0 else 2
+            layer = []
+            for b in range(blocks):
+                layer.append(
+                    TBottleneck(inplanes, planes, stride if b == 0 else 1)
+                )
+                inplanes = planes * TBottleneck.EXP
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*layer))
+        self.attnpool = TAttentionPool2d(
+            cfg.image_resolution // 32, w * 32, cfg.vision_heads, cfg.embed_dim
+        )
+        self.cfg = cfg
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        for stage in range(len(self.cfg.vision_layers)):
+            x = getattr(self, f"layer{stage + 1}")(x)
+        return self.attnpool(x)
+
+
+def _rn_tiny_cfg():
+    return CLIPConfig(
+        embed_dim=32,
+        image_resolution=64,
+        vision_width=16,
+        vision_layers=(1, 1, 1, 1),
+        vision_heads=8,  # (width*32) / 64
+        vocab_size=256,
+        context_length=16,
+        text_width=16,
+        text_layers=2,
+        text_heads=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def rn_pair():
+    cfg = _rn_tiny_cfg()
+    tvis = TModifiedResNet(cfg)
+    # randomize BN running stats so the converter's mean/var mapping is
+    # actually exercised (fresh BN has mean 0 / var 1)
+    with torch.no_grad():
+        for m in tvis.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    tvis.eval()
+    # mount under `visual.` + borrow a tiny text tower so the full
+    # state_dict looks like a real RN checkpoint
+    ttext = TCLIP(cfg.__class__.tiny())
+    sd = {f"visual.{k}": v for k, v in tvis.state_dict().items()}
+    for k, v in _clip_state_dict(ttext).items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    return cfg, tvis, sd
+
+
+def test_rn_config_inference(rn_pair):
+    cfg, _, sd = rn_pair
+    inferred = convert.clip_config_from_state_dict(sd)
+    assert inferred.is_resnet
+    assert tuple(inferred.vision_layers) == (1, 1, 1, 1)
+    assert inferred.vision_width == cfg.vision_width
+    assert inferred.image_resolution == cfg.image_resolution
+    assert inferred.embed_dim == cfg.embed_dim
+    assert inferred.vision_heads == cfg.vision_heads
+
+
+def test_rn_image_parity(rn_pair):
+    cfg, tvis, sd = rn_pair
+    inferred = convert.clip_config_from_state_dict(sd)
+    params = convert.convert_clip_params(sd, inferred)
+    x = np.random.RandomState(7).randn(
+        2, cfg.image_resolution, cfg.image_resolution, 3
+    ).astype(np.float32)
+    with torch.no_grad():
+        want = tvis(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    model = CLIP(inferred)
+    got = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x), method=CLIP.encode_image
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -1,49 +1,111 @@
-"""Native host-ops: build, correctness vs numpy bilinear, batch path."""
+"""Native host-ops: build, PIL-parity of the antialiased resample, the
+in-C++ JPEG decode path, and the batch path.
+
+Round 1's native resize was a plain 2-tap bilinear lookup that diverged
+from PIL's area-averaging BILINEAR on large downscales (ADVICE.md); the
+contract now is parity with PIL for BOTH paths, so training data does
+not depend on whether a C++ toolchain was available.
+"""
+
+import io
 
 import numpy as np
 import pytest
+from PIL import Image
 
 from imagegenerator_tpu.data import native
-
-
-def _numpy_resize_normalize(img_u8, size):
-    """Reference bilinear with half-pixel centers + [-1,1] normalize."""
-    h, w, c = img_u8.shape
-    fy = np.clip((np.arange(size) + 0.5) * (h / size) - 0.5, 0, h - 1)
-    fx = np.clip((np.arange(size) + 0.5) * (w / size) - 0.5, 0, w - 1)
-    y0 = fy.astype(int)
-    x0 = fx.astype(int)
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    wy = (fy - y0)[:, None, None]
-    wx = (fx - x0)[None, :, None]
-    img = img_u8.astype(np.float32)
-    out = (
-        img[y0][:, x0] * (1 - wy) * (1 - wx)
-        + img[y0][:, x1] * (1 - wy) * wx
-        + img[y1][:, x0] * wy * (1 - wx)
-        + img[y1][:, x1] * wy * wx
-    )
-    return out * (2.0 / 255.0) - 1.0
-
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="no C++ toolchain for native host ops"
 )
 
 
-def test_resize_normalize_matches_numpy():
+def _pil_resize_normalize(img_u8, size):
+    im = Image.fromarray(img_u8).resize((size, size), Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0 * 2.0 - 1.0
+
+
+def test_resample_matches_pil_downscale():
+    """Large downscale (the COCO 640px -> 64px case ADVICE.md flagged):
+    the antialiased triangle resample must track PIL BILINEAR closely
+    (PIL uses 8-bit fixed-point accumulation -> small quantization gap)."""
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (48, 80, 3), dtype=np.uint8)
+    img = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
     got = native.resize_normalize(img, 64)
-    want = _numpy_resize_normalize(img, 64)
+    want = _pil_resize_normalize(img, 64)
     assert got.shape == (64, 64, 3)
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert np.abs(got - want).max() < 2.5 / 255 * 2  # ~2.5 u8 levels
     assert got.min() >= -1.0 and got.max() <= 1.0
 
 
-def test_batch_resize_normalize():
+def test_resample_matches_pil_asymmetric_and_upscale():
     rng = np.random.default_rng(1)
+    for shape, size in [((48, 80), 64), ((100, 30), 32), ((7, 200), 32), ((20, 20), 64)]:
+        img = rng.integers(0, 255, (*shape, 3), dtype=np.uint8)
+        got = native.resize_normalize(img, size)
+        want = _pil_resize_normalize(img, size)
+        assert np.abs(got - want).max() < 2.5 / 255 * 2, (shape, size)
+
+
+def test_decode_jpeg_matches_pil_chain():
+    """Full in-C++ JPEG decode + resample vs PIL decode + PIL resize."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 255, (320, 480, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    got = native.decode_jpeg_resize_normalize(data, 96)
+    if got is None:
+        pytest.skip("host_ops built without libjpeg")
+    dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    want = _pil_resize_normalize(dec, 96)
+    assert got.shape == (96, 96, 3)
+    # identical libjpeg decode + near-identical resample
+    assert np.abs(got - want).max() < 3.0 / 255 * 2
+
+
+def test_decode_jpeg_fast_dct_close():
+    """DCT-scaled decode trades exactness for ~3x decode speed; output
+    must stay close to the exact path (it is a valid antialias too)."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    exact = native.decode_jpeg_resize_normalize(buf.getvalue(), 64)
+    fast = native.decode_jpeg_resize_normalize(buf.getvalue(), 64, fast_dct=True)
+    if exact is None:
+        pytest.skip("host_ops built without libjpeg")
+    assert fast.shape == exact.shape
+    # random noise is the worst case for DCT truncation; bound loosely
+    assert np.abs(fast - exact).mean() < 0.12
+
+
+def test_decode_jpeg_rejects_garbage():
+    assert native.decode_jpeg_resize_normalize(b"\xff\xd8garbage", 32) is None
+
+
+def test_decode_path_used_by_dataset():
+    """coco.decode_resize_normalize must give the same pixels for the
+    native JPEG path and the PIL fallback."""
+    from imagegenerator_tpu.data.coco import decode_resize_normalize
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    native_out = decode_resize_normalize(buf.getvalue(), 64)
+
+    # PNG goes through PIL decode + native resample
+    buf_png = io.BytesIO()
+    dec = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    Image.fromarray(dec).save(buf_png, format="PNG")
+    png_out = decode_resize_normalize(buf_png.getvalue(), 64)
+    np.testing.assert_allclose(native_out, png_out, atol=1e-5)
+
+
+def test_batch_resize_normalize():
+    rng = np.random.default_rng(5)
     imgs = [
         rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         for h, w in [(48, 80), (64, 64), (100, 30), (7, 200)]
@@ -52,5 +114,5 @@ def test_batch_resize_normalize():
     assert got.shape == (4, 32, 32, 3)
     for i, im in enumerate(imgs):
         np.testing.assert_allclose(
-            got[i], _numpy_resize_normalize(im, 32), atol=1e-4
+            got[i], native.resize_normalize(im, 32), atol=1e-6
         )

@@ -147,6 +147,36 @@ class _Block(nn.Module):
         return x
 
 
+class _PatchEmbed(nn.Module):
+    """Patch embedding as reshape + one GEMM instead of a strided conv.
+
+    Mathematically identical (stride == kernel == patch, VALID padding,
+    same HWIO kernel param so checkpoints convert unchanged), but the
+    BACKWARD of the conv formulation lowers to an input-dilated conv
+    that ran HBM-bound at 0.36 TF/s and ate 47% of the whole v2
+    latent-opt step (profiled, benchmarks/PROFILE_v2_r02.md); as a GEMM
+    transpose it rides the MXU."""
+
+    width: int
+    patch: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, images):
+        p = self.patch
+        B, H, W, C = images.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, C, self.width)
+        )
+        dtype = self.dtype or images.dtype
+        x = images.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p), p * p * C)
+        k = kernel.reshape(p * p * C, self.width)  # (kh, kw, in) row-major
+        return jnp.dot(
+            x.astype(dtype), k.astype(dtype), preferred_element_type=dtype
+        )
+
+
 class VisionTransformer(nn.Module):
     config: CLIPConfig
     dtype: Dtype = None
@@ -156,17 +186,10 @@ class VisionTransformer(nn.Module):
         """images: (B, R, R, 3), CLIP-normalized. Returns (B, embed_dim)."""
         c = self.config
         scale = c.vision_width ** -0.5
-        x = nn.Conv(
-            c.vision_width,
-            (c.patch_size, c.patch_size),
-            strides=c.patch_size,
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
+        x = _PatchEmbed(
+            c.vision_width, c.patch_size, dtype=self.dtype, name="conv1"
         )(images)
         B = x.shape[0]
-        x = x.reshape(B, -1, c.vision_width)
         cls_emb = self.param(
             "class_embedding",
             lambda k, s: scale * jax.random.normal(k, s),

@@ -43,15 +43,18 @@ def _safe_div(num, den, eps=1e-8):
 
 def _line_weights(coords, in_size, dtype=jnp.bfloat16):
     """coords: (..., out) source positions -> (..., out, in_size) linear-
-    interp weights with border clamp."""
+    interp weights with border clamp.
+
+    Written as a tent function max(0, 1 - |s - k|) rather than the
+    floor/one-hot formulation: identical weights (for k = floor(s) it
+    yields 1-frac, for k+1 it yields frac, and a clamped integer s hits
+    a single 1), but ~half the VPU ops per element. This matters: the
+    (out, in_size)-sized weight generation is fused into the matmul by
+    XLA and is the dominant cost of the warp, not the MXU contraction
+    (profiled: per-op time is invariant to the einsum's layout)."""
     s = jnp.clip(coords, 0.0, in_size - 1.0)
-    s0 = jnp.floor(s)
-    frac = s - s0
     k = jnp.arange(in_size, dtype=s.dtype)
-    s1 = jnp.minimum(s0 + 1.0, in_size - 1.0)
-    w0 = (k == s0[..., None]).astype(dtype) * (1.0 - frac[..., None]).astype(dtype)
-    w1 = (k == s1[..., None]).astype(dtype) * frac[..., None].astype(dtype)
-    return w0 + w1
+    return jnp.maximum(0.0, 1.0 - jnp.abs(s[..., None] - k)).astype(dtype)
 
 
 def warp_homography_2pass(images: jax.Array, Ms: jax.Array) -> jax.Array:

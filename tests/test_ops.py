@@ -133,3 +133,59 @@ def test_vector_quantize_matches_torch_oracle():
         jnp.asarray(x)
     )
     np.testing.assert_allclose(np.asarray(g), np.ones_like(x))
+
+
+def test_packed_boundary_conv_grads_match_direct():
+    """The k4/s2/p1 boundary convs have space-to-depth / depth-to-space
+    packed formulations (ops/conv.py, opt-in via IMAGEGEN_PACK_BOUNDARY);
+    here we check the packed paths
+    (called directly; dispatch is gated on IMAGEGEN_PACK_BOUNDARY)
+    and their GRADIENTS against the direct lax lowering — the WGAN-GP double-backward runs through
+    these ops twice, so their VJPs must be exact."""
+    from jax import lax
+
+    from imagegenerator_tpu.ops.conv import _conv2d_s2d, _conv_transpose2d_d2s
+
+    dimspec = ("NHWC", "HWIO", "NHWC")
+    x = jnp.asarray(_rand(2, 16, 16, 3, seed=11))
+    w = jnp.asarray(_rand(4, 4, 3, 16, seed=12) * 0.1)
+
+    def packed(x, w):
+        return (_conv2d_s2d(x, w, None, None) ** 2).sum()
+
+    def direct(x, w):
+        out = lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dimspec
+        )
+        return (out**2).sum()
+
+    for a, b in zip(jax.grad(packed, (0, 1))(x, w), jax.grad(direct, (0, 1))(x, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    # transpose-conv path (RGB output side)
+    xt = jnp.asarray(_rand(2, 8, 8, 24, seed=13))
+    wt = jnp.asarray(_rand(4, 4, 3, 24, seed=14) * 0.1)
+
+    def packed_t(x, w):
+        return (_conv_transpose2d_d2s(x, w, None, None) ** 2).sum()
+
+    def direct_t(x, w):
+        w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+        out = lax.conv_general_dilated(
+            x, w_flip, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=dimspec,
+        )
+        return (out**2).sum()
+
+    for a, b in zip(
+        jax.grad(packed_t, (0, 1))(xt, wt), jax.grad(direct_t, (0, 1))(xt, wt)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_conv_odd_size_falls_back():
+    """Odd spatial sizes can't space-to-depth; the generic path must run."""
+    x = jnp.asarray(_rand(1, 15, 15, 3, seed=15))
+    w = jnp.asarray(_rand(4, 4, 3, 8, seed=16))
+    out = conv2d(x, w, stride=2, padding=1)
+    assert out.shape == (1, 7, 7, 8)

@@ -202,7 +202,9 @@ def bench_stage1():
     )
     cfg = Stage1Config(compute_dtype=dtype, unroll_critic=unroll)
     system = Stage1System(cfg)
-    state = system.init(jax.random.key(0), batch)
+    # jit the init: eager flax init of BERT-base is thousands of small
+    # dispatches — minutes over a tunneled chip, one graph under jit.
+    state = jax.jit(system.init, static_argnums=1)(jax.random.key(0), batch)
     kt, ki = jax.random.split(jax.random.key(1))
     data = {
         "input_ids": jax.random.randint(
@@ -324,7 +326,7 @@ def main():
     system = Stage2System(cfg)
 
     key = jax.random.key(0)
-    state = system.init(key, batch)
+    state = jax.jit(system.init, static_argnums=1)(key, batch)
     kt, ki = jax.random.split(jax.random.key(1))
     batch_data = {
         "input_ids": jax.random.randint(

@@ -67,6 +67,15 @@ class Stage1Config:
     # loop-invariant across the critic iterations and is hoisted out of
     # the scan (exact semantics, ~n_critic x fewer encoder forwards).
     text_dropout: bool = True
+    # The encoder only LEARNS through the generator step — the critic
+    # loop uses tem as a stopped-gradient input — so the reference's
+    # per-critic-iteration BERT re-forwards (stage_1_train_fn.py:117-123)
+    # only resample dropout noise. Profiled on v5e the step is 93% BERT,
+    # and those re-forwards are most of it. Default: sample dropout ONCE
+    # per batch and run ONE vjp-saved text forward per step, reused by
+    # the critic loop and the generator backward (~8 -> 3 BERT
+    # forward-equivalents). True restores per-iteration resampling.
+    text_resample_per_iter: bool = False
     # Rematerialize generator/critic forwards in the loss functions to
     # trade FLOPs for activation memory (larger per-chip batches).
     remat: bool = False
@@ -322,12 +331,32 @@ class Stage1System:
             )
             return tem_2b[:bsz], tem_2b[bsz:]
 
-        # Without dropout the encoder is deterministic, so the text
-        # embeddings are identical in every critic iteration — hoist the
-        # forward out of the scan (exact, reference-equivalent).
+        # Text forward policy (see Stage1Config.text_resample_per_iter):
+        # unless per-iteration dropout resampling is requested, run the
+        # doubled-batch text forward ONCE through jax.vjp — the critic
+        # loop reads its (stopped-gradient) value and the generator step
+        # pulls encoder/projection grads back through the saved residuals
+        # instead of re-running the forward.
+        k_drop_hoist = jax.random.fold_in(k_loop, c.n_critic)
         hoisted_tems = None
-        if not c.text_dropout:
-            hoisted_tems = text_fwd_both(state.params, None)
+        text_vjp = None
+        if not (c.text_dropout and c.text_resample_per_iter):
+            enc_proj = {
+                "encoder": state.params["encoder"],
+                "projection": state.params["projection"],
+            }
+
+            def text_both_2b(ep):
+                return self.encode_text(
+                    ep["encoder"],
+                    ep["projection"],
+                    tokens_2b,
+                    mask_2b,
+                    k_drop_hoist if c.text_dropout else None,
+                )
+
+            tem_2b_val, text_vjp = jax.vjp(text_both_2b, enc_proj)
+            hoisted_tems = (tem_2b_val[:bsz], tem_2b_val[bsz:])
 
         # ---------------- critic inner loop (lax.scan) ----------------
         def critic_iter(carry, it_key):
@@ -396,22 +425,58 @@ class Stage1System:
         # with the same PRNG keys, against the post-update critic.
         k_drop_l, k_ca_l, k_z_l, _ = jax.random.split(iter_keys[-1], 4)
 
-        def gen_loss_fn(gen_side_params):
-            params = dict(state.params)
-            params.update(gen_side_params)
-            tem, _ = text_fwd_both(params, k_drop_l)
-            fake, mu, sigma, gstats = self._gen_forward(
-                params, gen_stats, tem, k_ca_l, k_z_l, bsz
-            )
-            s_fake, cstats = self._critic_apply(critic_params, critic_stats, fake, tem)
-            kl = losses.kl_term(mu, sigma, c.kl_mode)
-            loss = losses.wgan_generator_loss(s_fake) + kl
-            return loss, (gstats, cstats, kl)
+        if text_vjp is not None:
+            # Hoisted path: differentiate w.r.t. (CA/generator params, tem)
+            # and route the tem cotangent through the saved text vjp — no
+            # encoder re-forward. Gradients are exact: tem feeds both the
+            # generator (via CA) and the critic's text head, and the vjp
+            # sums both paths.
+            tem_full = hoisted_tems[0]
 
-        gen_side = {m: state.params[m] for m in GEN_SIDE}
-        (loss_g, (gen_stats, critic_stats, kl)), gen_grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True
-        )(gen_side)
+            def gen_loss_hoisted(sub_params, tem_in):
+                params = dict(state.params)
+                params.update(sub_params)
+                fake, mu, sigma, gstats = self._gen_forward(
+                    params, gen_stats, tem_in, k_ca_l, k_z_l, bsz
+                )
+                s_fake, cstats = self._critic_apply(
+                    critic_params, critic_stats, fake, tem_in
+                )
+                kl = losses.kl_term(mu, sigma, c.kl_mode)
+                loss = losses.wgan_generator_loss(s_fake) + kl
+                return loss, (gstats, cstats, kl)
+
+            sub = {m: state.params[m] for m in ("con_augment", "generator")}
+            (loss_g, (gen_stats, critic_stats, kl)), (sub_grads, tem_grad) = (
+                jax.value_and_grad(gen_loss_hoisted, argnums=(0, 1), has_aux=True)(
+                    sub, tem_full
+                )
+            )
+            cot = jnp.concatenate([tem_grad, jnp.zeros_like(tem_grad)], axis=0)
+            (ep_grads,) = text_vjp(cot.astype(tem_2b_val.dtype))
+            gen_grads = dict(sub_grads)
+            gen_grads["encoder"] = ep_grads["encoder"]
+            gen_grads["projection"] = ep_grads["projection"]
+        else:
+
+            def gen_loss_fn(gen_side_params):
+                params = dict(state.params)
+                params.update(gen_side_params)
+                tem, _ = text_fwd_both(params, k_drop_l)
+                fake, mu, sigma, gstats = self._gen_forward(
+                    params, gen_stats, tem, k_ca_l, k_z_l, bsz
+                )
+                s_fake, cstats = self._critic_apply(
+                    critic_params, critic_stats, fake, tem
+                )
+                kl = losses.kl_term(mu, sigma, c.kl_mode)
+                loss = losses.wgan_generator_loss(s_fake) + kl
+                return loss, (gstats, cstats, kl)
+
+            gen_side = {m: state.params[m] for m in GEN_SIDE}
+            (loss_g, (gen_stats, critic_stats, kl)), gen_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True
+            )(gen_side)
         gen_grads = pmean(gen_grads)
 
         new_params = dict(state.params)

@@ -78,6 +78,45 @@ class CLIPConfig:
         )
 
     @classmethod
+    def rn50x4(cls) -> "CLIPConfig":
+        # EfficientNet-style compound scaling of RN50 (published OpenAI
+        # configs; the converter re-derives all of this from a real
+        # checkpoint's shapes, these defaults only serve random-init runs)
+        return cls(
+            embed_dim=640,
+            image_resolution=288,
+            vision_width=80,
+            vision_layers=(4, 6, 10, 6),
+            vision_heads=40,  # width * 32 // 64
+            text_width=640,
+            text_heads=10,
+        )
+
+    @classmethod
+    def rn50x16(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=768,
+            image_resolution=384,
+            vision_width=96,
+            vision_layers=(6, 8, 18, 8),
+            vision_heads=48,
+            text_width=768,
+            text_heads=12,
+        )
+
+    @classmethod
+    def rn50x64(cls) -> "CLIPConfig":
+        return cls(
+            embed_dim=1024,
+            image_resolution=448,
+            vision_width=128,
+            vision_layers=(3, 15, 36, 10),
+            vision_heads=64,
+            text_width=1024,
+            text_heads=16,
+        )
+
+    @classmethod
     def vit_l14(cls) -> "CLIPConfig":
         return cls(
             embed_dim=768,

@@ -40,6 +40,9 @@ CLIP_CONFIGS = {
     # -m flag, arg_parser.py:33-38)
     "RN50": CLIPConfig.rn50,
     "RN101": CLIPConfig.rn101,
+    "RN50x4": CLIPConfig.rn50x4,
+    "RN50x16": CLIPConfig.rn50x16,
+    "RN50x64": CLIPConfig.rn50x64,
 }
 
 

@@ -549,3 +549,69 @@ def test_rn_image_parity(rn_pair):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def rn_x_pair():
+    """Width/depth-scaled RN shape (asymmetric stage depths, like the
+    RN50x4/x16/x64 family) — same oracle, different geometry, so the
+    converter's stage indexing is exercised beyond the uniform
+    (1,1,1,1) case."""
+    cfg = CLIPConfig(
+        embed_dim=48,
+        image_resolution=96,
+        vision_width=16,
+        vision_layers=(2, 1, 3, 1),
+        vision_heads=8,
+        vocab_size=256,
+        context_length=16,
+        text_width=16,
+        text_layers=2,
+        text_heads=2,
+    )
+    tvis = TModifiedResNet(cfg)
+    with torch.no_grad():
+        for m in tvis.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    tvis.eval()
+    ttext = TCLIP(cfg.__class__.tiny())
+    sd = {f"visual.{k}": v for k, v in tvis.state_dict().items()}
+    for k, v in _clip_state_dict(ttext).items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    return cfg, tvis, sd
+
+
+def test_rn_x_scaled_parity(rn_x_pair):
+    cfg, tvis, sd = rn_x_pair
+    inferred = convert.clip_config_from_state_dict(sd)
+    assert tuple(inferred.vision_layers) == (2, 1, 3, 1)
+    assert inferred.image_resolution == 96
+    params = convert.convert_clip_params(sd, inferred)
+    x = np.random.RandomState(11).randn(
+        2, cfg.image_resolution, cfg.image_resolution, 3
+    ).astype(np.float32)
+    with torch.no_grad():
+        want = tvis(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(
+        CLIP(inferred).apply(
+            {"params": params}, jnp.asarray(x), method=CLIP.encode_image
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_rn_registry_covers_reference_flag_surface():
+    """The reference's -m flag accepts every clip.load model name
+    (arg_parser.py:33-38); all RN names must resolve to coherent
+    configs (checkpoints override these via state_dict inference)."""
+    from imagegenerator_tpu.v2.generate import CLIP_CONFIGS
+
+    for name in ("RN50", "RN101", "RN50x4", "RN50x16", "RN50x64"):
+        cfg = CLIP_CONFIGS[name]()
+        assert cfg.is_resnet
+        assert cfg.vision_heads == cfg.vision_width * 32 // 64
+        assert cfg.image_resolution % 32 == 0
+        assert cfg.embed_dim % cfg.text_heads == 0

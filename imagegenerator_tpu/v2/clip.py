@@ -130,6 +130,12 @@ class CLIPConfig:
         )
 
     @classmethod
+    def vit_l14_336(cls) -> "CLIPConfig":
+        # clip.load("ViT-L/14@336px"): the L/14 tower fine-tuned at 336px
+        # (24x24 patch grid); checkpoints override via state_dict inference
+        return dataclasses.replace(cls.vit_l14(), image_resolution=336)
+
+    @classmethod
     def tiny(cls) -> "CLIPConfig":
         return cls(
             embed_dim=16,

@@ -36,6 +36,7 @@ CLIP_CONFIGS = {
     "ViT-B/32": CLIPConfig.vit_b32,
     "ViT-B/16": CLIPConfig.vit_b16,
     "ViT-L/14": CLIPConfig.vit_l14,
+    "ViT-L/14@336px": CLIPConfig.vit_l14_336,
     # modified-ResNet towers (reference clip.load accepts these via the
     # -m flag, arg_parser.py:33-38)
     "RN50": CLIPConfig.rn50,

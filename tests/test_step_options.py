@@ -47,3 +47,38 @@ def test_remat_matches_no_remat():
 
     for k in outs[0]:
         np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-5, err_msg=k)
+
+
+def test_per_iter_text_resampling_mode():
+    """text_resample_per_iter=True restores the reference's semantics
+    (fresh dropout per critic-loop text forward, gen-step re-forward).
+    The faithful path must run, produce finite losses, and — because the
+    dropout key schedule differs — diverge from the hoisted default."""
+    cfg_hoist = Stage1Config.tiny(n_critic=2)
+    cfg_faithful = Stage1Config.tiny(n_critic=2, text_resample_per_iter=True)
+
+    results = []
+    for cfg in (cfg_hoist, cfg_faithful):
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        assert np.isfinite(float(metrics["loss_gen"]))
+        results.append(float(metrics["loss_gen"]))
+    assert results[0] != results[1]
+
+
+def test_per_iter_equals_hoisted_without_dropout():
+    """With dropout OFF the two text policies are mathematically the
+    same computation — the flag must not change numerics."""
+    base = dict(n_critic=1, text_dropout=False)
+    outs = []
+    for per_iter in (False, True):
+        cfg = Stage1Config.tiny(**base, text_resample_per_iter=per_iter)
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        outs.append({k: float(v) for k, v in metrics.items()})
+    for k in outs[0]:
+        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-5, err_msg=k)

@@ -77,6 +77,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the reference's PJRT process-group role)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (stage 1): shards the "
+                        "in-step BERT Megatron-style over a 2-D "
+                        "(data, model) mesh via GSPMD; device count must "
+                        "be divisible by this. 1 = pure DP (reference "
+                        "parallelism)")
     return p
 
 
@@ -88,7 +94,18 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     devices = np.array(jax.devices())
-    mesh = jax.sharding.Mesh(devices, ("data",)) if len(devices) > 1 else None
+    if args.tp > 1:
+        if args.stage != 1:
+            raise SystemExit("--tp applies to stage 1 (the in-step BERT)")
+        if len(devices) % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide {len(devices)} devices"
+            )
+        mesh = jax.sharding.Mesh(
+            devices.reshape(-1, args.tp), ("data", "model")
+        )
+    else:
+        mesh = jax.sharding.Mesh(devices, ("data",)) if len(devices) > 1 else None
 
     # Pretrained text encoder (reference train.py:68): load + convert the
     # torch state_dict up front so its inferred architecture flows into
@@ -158,7 +175,9 @@ def main(argv=None):
     # Each process builds only its addressable share of the global batch;
     # the loader assembles the global array via
     # make_array_from_process_local_data (see data/pipeline.py).
-    local_batch = args.batch_size * jax.local_device_count()
+    # batch_size is per DATA-parallel shard (the reference's per-core
+    # batch); model-parallel ranks share their shard's batch.
+    local_batch = args.batch_size * max(1, jax.local_device_count() // args.tp)
     loader = DataLoader(
         dataset, tokenizer, batch_size=local_batch, seed=args.seed, mesh=mesh
     )
@@ -181,7 +200,11 @@ def main(argv=None):
                 params={**state.params, "encoder": bert_params}
             )
             if mesh is not None:
-                state = s1.replicate_state(state, mesh)
+                state = (
+                    s1.shard_state_2d(state, mesh)
+                    if "model" in mesh.axis_names
+                    else s1.replicate_state(state, mesh)
+                )
         trainer.fit(state, start_epoch)
     else:
         system = s2.Stage2System(cfg)

@@ -46,7 +46,15 @@ class Stage1Trainer:
         self.loader = loader
         self.opt = options
         self.mesh = mesh
-        self.step_fn = s1.make_train_step(system, mesh=mesh)
+        # A mesh with a 'model' axis selects the GSPMD dp x tp step
+        # (Megatron-sharded BERT, stage1.make_train_step_2d); a 1-D
+        # 'data' mesh keeps the reference-faithful shard_map DP path.
+        self.is_2d = mesh is not None and "model" in mesh.axis_names
+        self.step_fn = (
+            s1.make_train_step_2d(system, mesh)
+            if self.is_2d
+            else s1.make_train_step(system, mesh=mesh)
+        )
         self.writer = MetricsWriter(options.logdir)
         self.ckpt = (
             CheckpointManager(options.checkpoint_dir, options.save_every_epochs)
@@ -63,7 +71,11 @@ class Stage1Trainer:
                 state = restored
                 print(f"Loaded checkpoint at epoch {start_epoch - 1}")
         if self.mesh is not None:
-            state = s1.replicate_state(state, self.mesh)
+            state = (
+                s1.shard_state_2d(state, self.mesh)
+                if self.is_2d
+                else s1.replicate_state(state, self.mesh)
+            )
         return state, start_epoch
 
     def fit(self, state, start_epoch: int = 0):

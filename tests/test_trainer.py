@@ -162,3 +162,52 @@ def test_stage2_trainer_epoch(tmp_path):
     trainer2 = Stage2Trainer(system, loader, options)
     _, start2 = trainer2.init_state(batch_size=2)
     assert start2 == 1
+
+
+def test_stage1_cli_tp_mesh(tmp_path):
+    """CLI --tp 2: stage-1 training on the 2-D (data, model) mesh via
+    GSPMD with the in-step BERT Megatron-sharded (dp=4 x tp=2 on the 8
+    virtual CPU devices), end to end through the data pipeline and
+    checkpointing."""
+    import io
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from imagegenerator_tpu.data import open_store
+    from imagegenerator_tpu.train import cli
+
+    store = open_store("mem://tp-cli-smoke")
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    # --tp 2 -> 4 data shards; batch_size 2/shard -> global batch 8
+    for i in range(8):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        store.write_bytes(f"imgs/img{i}.png", buf.getvalue())
+        images.append({"id": i, "file_name": f"img{i}.png"})
+        annotations.append({"image_id": i, "caption": f"a caption {i}"})
+    store.write_text(
+        "ann/captions.json",
+        json.dumps({"images": images, "annotations": annotations}),
+    )
+
+    cli.main(
+        [
+            "--stage", "1",
+            "--tiny",
+            "--data", "mem://tp-cli-smoke",
+            "--root", "imgs",
+            "--ann_file", "ann/captions.json",
+            "--batch_size", "2",
+            "--num_epochs", "1",
+            "--n_critic", "1",
+            "--seq_len", "8",
+            "--tp", "2",
+            "--checkpoint_dir", str(tmp_path / "ckpts"),
+        ]
+    )
+    assert (tmp_path / "ckpts" / "Stage1" / "LATEST_EPOCH").exists()

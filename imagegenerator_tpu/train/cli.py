@@ -77,6 +77,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the reference's PJRT process-group role)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the training "
+                        "run into this directory (view with xprof / "
+                        "TensorBoard's profile plugin)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (stage 1): shards the "
                         "in-step BERT Megatron-style over a 2-D "
@@ -189,6 +193,12 @@ def main(argv=None):
         logdir=args.logdir,
     )
 
+    import contextlib
+
+    from imagegenerator_tpu.utils.profiling import trace
+
+    prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+
     if args.stage == 1:
         system = s1.Stage1System(cfg)
         trainer = Stage1Trainer(system, loader, options, mesh=mesh)
@@ -205,7 +215,8 @@ def main(argv=None):
                     if "model" in mesh.axis_names
                     else s1.replicate_state(state, mesh)
                 )
-        trainer.fit(state, start_epoch)
+        with prof:
+            trainer.fit(state, start_epoch)
     else:
         system = s2.Stage2System(cfg)
         trainer = Stage2Trainer(system, loader, options, mesh=mesh)
@@ -232,7 +243,8 @@ def main(argv=None):
             )
             if mesh is not None:
                 state = s1.replicate_state(state, mesh)
-        trainer.fit(state, start_epoch)
+        with prof:
+            trainer.fit(state, start_epoch)
 
 
 if __name__ == "__main__":

@@ -52,4 +52,9 @@ def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
                    help="File with one prompt set per line; generates one "
                         "image per line, batched and sharded across devices "
                         "(outputs <stem>_<i>.png)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   dest="profile_dir",
+                   help="Capture a jax.profiler trace of the optimization "
+                        "loop into this directory (xprof / TensorBoard "
+                        "profile plugin)")
     return p

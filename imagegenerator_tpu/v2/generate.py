@@ -201,17 +201,25 @@ def main(argv=None):
             print(f"{prefix}i: {i}, loss: {per_prompt.sum():g}, losses: {loss_str}")
             save_png(out_path(b), imgs[b], f"{prompts}")
 
+    import contextlib
+
+    from imagegenerator_tpu.utils.profiling import trace
+
+    prof = (
+        trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    )
     try:
-        engine.run(
-            state,
-            k_run,
-            embeds,
-            w_arr,
-            s_arr,
-            iterations=args.max_iterations,
-            display_freq=args.display_freq,
-            checkin=checkin,
-        )
+        with prof:
+            engine.run(
+                state,
+                k_run,
+                embeds,
+                w_arr,
+                s_arr,
+                iterations=args.max_iterations,
+                display_freq=args.display_freq,
+                checkin=checkin,
+            )
     except KeyboardInterrupt:
         pass  # reference generate.py:194-195
 

@@ -27,6 +27,7 @@ class CheckpointManager:
         self.directory = directory
         self.save_every_epochs = save_every_epochs
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_epoch: int | None = None
 
     # ------------------------------------------------------------------
     def _epoch_dir(self, epoch: int) -> str:
@@ -45,13 +46,30 @@ class CheckpointManager:
     def save(self, epoch: int, state) -> None:
         """Dual-write: per-epoch checkpoint + rolling latest + marker.
 
+        ASYNC: Orbax's StandardCheckpointer serializes/uploads in the
+        background, so training resumes immediately after the host copy
+        of ``state`` is handed over (the caller passes host arrays —
+        device buffers are donated into the next step and must not be
+        aliased by a background writer). The LATEST_EPOCH marker is
+        written only once the previous save has COMMITTED — at the next
+        ``save``/``wait`` — so a crash mid-upload can never leave the
+        marker pointing at a torn checkpoint.
+
         The marker goes through ``etils.epath`` (the path layer Orbax
         itself uses) so it works on ``gs://`` URLs exactly like the
         checkpoint payloads — builtin ``open()`` cannot write them."""
+        self.wait()
         self._ckptr.save(self._epoch_dir(epoch), state, force=True)
         self._ckptr.save(self._latest_dir(), state, force=True)
+        self._pending_epoch = epoch
+
+    def wait(self) -> None:
+        """Barrier any in-flight save and publish its marker."""
+        if self._pending_epoch is None:
+            return
         self._ckptr.wait_until_finished()
-        epath.Path(self._marker()).write_text(str(epoch))
+        epath.Path(self._marker()).write_text(str(self._pending_epoch))
+        self._pending_epoch = None
 
     def latest_epoch(self) -> int:
         try:

@@ -93,6 +93,8 @@ class Stage1Trainer:
                 gstep += 1
             if self.ckpt is not None and self.ckpt.should_save(epoch):
                 self.ckpt.save(epoch, jax.device_get(state))
+        if self.ckpt is not None:
+            self.ckpt.wait()  # publish the final marker (async saves)
         return state
 
 
@@ -156,6 +158,8 @@ class Stage2Trainer:
                 gstep += 1
             if self.ckpt is not None and self.ckpt.should_save(epoch):
                 self.ckpt.save(epoch, jax.device_get(state))
+        if self.ckpt is not None:
+            self.ckpt.wait()  # publish the final marker (async saves)
         return state
 
 

@@ -17,9 +17,32 @@ def test_save_restore_roundtrip(tmp_path):
 
     mgr.save(0, state)
     mgr.save(10, state)
+    mgr.wait()  # saves are async; the marker publishes on commit
 
     restored, start_epoch = mgr.restore_latest(jax.tree.map(np.zeros_like, state))
     assert start_epoch == 11
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_async_marker_never_precedes_commit(tmp_path):
+    """save() returns with the write in flight; the LATEST_EPOCH marker
+    must only ever name a COMMITTED checkpoint — published at the next
+    save()/wait(), so a crash mid-upload cannot strand a torn latest."""
+    system = Stage1System(Stage1Config.tiny(n_critic=1))
+    state = system.init(jax.random.key(0), 2)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every_epochs=10)
+
+    mgr.save(0, state)
+    # marker may not exist yet (pending); after the barrier it must
+    mgr.wait()
+    assert mgr.latest_epoch() == 0
+
+    mgr.save(10, state)  # barriers + publishes nothing for 10 yet
+    assert mgr.latest_epoch() == 0
+    mgr.wait()
+    assert mgr.latest_epoch() == 10
+    # idempotent
+    mgr.wait()
+    assert mgr.latest_epoch() == 10

@@ -176,6 +176,65 @@ def perspective_grid(H, W, src_corners):
 
 
 # ------------------------------------------------------------- pipeline
+def random_color_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
+                         p_jitter=0.7, p_sharp=0.4):
+    """The color half of the reference stack (jitter + sharpness) alone.
+
+    Used by the composed-cutout fast path (cutouts.py), which folds
+    flip/affine/perspective into the crop warp itself: color ops run on
+    SOURCE-resolution copies (fewer pixels), geometry runs once."""
+    N = batch.shape[0]
+    keys = jax.random.split(key, 5)
+    do_jit = jax.random.bernoulli(keys[0], p_jitter, (N,))
+    hue_shift = jax.random.uniform(keys[1], (N,), minval=-hue, maxval=hue)
+    sat_fac = jax.random.uniform(keys[2], (N,), minval=1 - sat, maxval=1 + sat)
+    jittered = jax.vmap(color_jitter)(batch, hue_shift, sat_fac)
+    batch = jnp.where(do_jit[:, None, None, None], jittered, batch)
+
+    do_sharp = jax.random.bernoulli(keys[3], p_sharp, (N,))
+    sharp_fac = jax.random.uniform(keys[4], (N,), minval=1.0, maxval=1.0 + sharp)
+    sharped = jax.vmap(sharpness)(batch, sharp_fac)
+    return jnp.where(do_sharp[:, None, None, None], sharped, batch)
+
+
+def random_geometry(key, n, H, W, *, degrees=30.0, translate=0.1,
+                    distortion=0.2, p_flip=0.5, p_affine=0.8, p_persp=0.4):
+    """Per-sample inverse-map homographies (n, 3, 3) at (H, W) OUTPUT
+    coordinates for the reference's geometric augs — horizontal flip,
+    rotation+translation, perspective — identity rows where an aug does
+    not fire. Value-chain order matches random_augment: flip, then
+    affine, then perspective, i.e. M = F @ A @ P."""
+    keys = jax.random.split(key, 5)
+    eye = jnp.eye(3)
+
+    do_flip = jax.random.bernoulli(keys[0], p_flip, (n,))
+    flip = jnp.array([[1.0, 0.0, 0.0], [0.0, -1.0, W - 1.0], [0.0, 0.0, 1.0]])
+
+    do_aff = jax.random.bernoulli(keys[1], p_affine, (n,))
+    angles = jax.random.uniform(keys[2], (n,), minval=-degrees, maxval=degrees)
+    trans = jax.random.uniform(
+        keys[3], (n, 2), minval=-translate, maxval=translate
+    ) * jnp.array([H, W])
+
+    do_persp = jax.random.bernoulli(keys[4], p_persp, (n,))
+    k_c = jax.random.fold_in(keys[4], 1)
+    max_dy, max_dx = distortion * H / 2.0, distortion * W / 2.0
+    base = jnp.array([[0.0, 0.0], [0.0, W - 1.0], [H - 1.0, W - 1.0], [H - 1.0, 0.0]])
+    sign = jnp.array([[1, 1], [1, -1], [-1, -1], [-1, 1]], jnp.float32)
+    deltas = (
+        jax.random.uniform(k_c, (n, 4, 2)) * jnp.array([max_dy, max_dx]) * sign
+    )
+    corners = base + deltas
+
+    def compose(sel_f, sel_a, angle, t, sel_p, cs):
+        F = jnp.where(sel_f, flip, eye)
+        A = jnp.where(sel_a, affine_homography(H, W, angle, t), eye)
+        Pm = jnp.where(sel_p, perspective_homography(H, W, cs), eye)
+        return F @ A @ Pm
+
+    return jax.vmap(compose)(do_flip, do_aff, angles, trans, do_persp, corners)
+
+
 def random_augment(key, batch, *, hue=0.01, sat=0.01, sharp=0.3,
                    degrees=30.0, translate=0.1, distortion=0.2,
                    p_flip=0.5, p_jitter=0.7, p_sharp=0.4, p_affine=0.8,

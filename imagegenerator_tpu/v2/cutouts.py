@@ -24,7 +24,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from imagegenerator_tpu.v2.augment import random_augment
+from imagegenerator_tpu.v2.augment import (
+    random_augment,
+    random_color_augment,
+    random_geometry,
+)
+from imagegenerator_tpu.v2.warp2pass import warp_homography_2pass
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,24 +55,63 @@ class MakeCutouts:
         off_y = offs[:, 0] * (H - sizes)
         off_x = offs[:, 1] * (W - sizes)
 
-        out_shape = (B, self.cut_size, self.cut_size, C)
-
-        def one_cutout(size, oy, ox):
-            # map input window [o, o+size) onto [0, cut_size)
-            scale = jnp.full((2,), self.cut_size) / size
-            translation = -jnp.stack([oy, ox]) * (self.cut_size / size)
-            return jax.image.scale_and_translate(
-                images, out_shape, (1, 2), scale, translation, method="lanczos3"
+        # Composed fast path: when every crop is a pure MAGNIFICATION
+        # (source no bigger than cut_size — always true at the reference
+        # default 128px image / 224px CLIP), antialiasing is a no-op, so
+        # crop+rescale+flip+affine+perspective collapse into ONE
+        # rectangular two-pass warp per cutout. Color augs then run on
+        # source-resolution copies (fewer pixels, same order vs the
+        # geometric augs as the reference: jitter/sharp before warp).
+        # The VPU-bound warp weight generation — the v2 step's largest
+        # single cost, see benchmarks/PROFILE_v2_r02.md — shrinks with
+        # the source width, and the separate lanczos resample vanishes.
+        if self.augment and min(H, W) <= self.cut_size:
+            N = B * self.cutn
+            copies = jnp.broadcast_to(images[None], (self.cutn, B, H, W, C))
+            copies = copies.transpose(1, 0, 2, 3, 4).reshape(N, H, W, C)
+            colored = random_color_augment(k_aug, jnp.clip(copies, 0.0, 1.0))
+            Ms_aug = random_geometry(
+                jax.random.fold_in(k_aug, 1), N, self.cut_size, self.cut_size
             )
+            # crop map: out(cut_size) -> source window [o, o+size)
+            s = sizes / self.cut_size  # (cutn,)
+            zeros = jnp.zeros_like(s)
+            ones = jnp.ones_like(s)
+            M_crop = jnp.stack(
+                [
+                    jnp.stack([s, zeros, off_y], -1),
+                    jnp.stack([zeros, s, off_x], -1),
+                    jnp.stack([zeros, zeros, ones], -1),
+                ],
+                axis=-2,
+            )  # (cutn, 3, 3)
+            # sample n = b * cutn + ci: cutout index varies fastest
+            M_crop_n = jnp.tile(M_crop, (B, 1, 1))
+            Ms = jnp.einsum("nij,njk->nik", M_crop_n, Ms_aug)
+            cuts = warp_homography_2pass(
+                colored, Ms, out_shape=(self.cut_size, self.cut_size)
+            )
+            cuts = jnp.clip(cuts, 0.0, 1.0)
+        else:
+            out_shape = (B, self.cut_size, self.cut_size, C)
 
-        cuts = jax.vmap(one_cutout)(sizes, off_y, off_x)  # (cutn, B, s, s, C)
-        cuts = cuts.transpose(1, 0, 2, 3, 4).reshape(
-            B * self.cutn, self.cut_size, self.cut_size, C
-        )
-        cuts = jnp.clip(cuts, 0.0, 1.0)
+            def one_cutout(size, oy, ox):
+                # map input window [o, o+size) onto [0, cut_size)
+                scale = jnp.full((2,), self.cut_size) / size
+                translation = -jnp.stack([oy, ox]) * (self.cut_size / size)
+                return jax.image.scale_and_translate(
+                    images, out_shape, (1, 2), scale, translation,
+                    method="lanczos3",
+                )
 
-        if self.augment:
-            cuts = random_augment(k_aug, cuts)
+            cuts = jax.vmap(one_cutout)(sizes, off_y, off_x)  # (cutn, B, ...)
+            cuts = cuts.transpose(1, 0, 2, 3, 4).reshape(
+                B * self.cutn, self.cut_size, self.cut_size, C
+            )
+            cuts = jnp.clip(cuts, 0.0, 1.0)
+
+            if self.augment:
+                cuts = random_augment(k_aug, cuts)
 
         if self.noise_fac:
             facs = jax.random.uniform(

@@ -57,14 +57,20 @@ def _line_weights(coords, in_size, dtype=jnp.bfloat16):
     return jnp.maximum(0.0, 1.0 - jnp.abs(s[..., None] - k)).astype(dtype)
 
 
-def warp_homography_2pass(images: jax.Array, Ms: jax.Array) -> jax.Array:
+def warp_homography_2pass(
+    images: jax.Array, Ms: jax.Array, out_shape: tuple | None = None
+) -> jax.Array:
     """images: (N, H, W, C); Ms: (N, 3, 3) inverse-map homographies in
-    (y, x, 1) coordinates. Returns the warped batch, same shape."""
+    (y, x, 1) coordinates, mapping OUTPUT pixel coords to SOURCE pixel
+    coords. Returns the warped batch of spatial shape ``out_shape``
+    (default: same as input). Rectangular in/out sizes let one warp
+    express crop + rescale + flip + affine + perspective composed."""
     N, H, W, C = images.shape
+    Ho, Wo = out_shape if out_shape is not None else (H, W)
     out_dtype = images.dtype
     y = jnp.arange(H, dtype=jnp.float32)  # source rows (pass 1)
-    i = jnp.arange(H, dtype=jnp.float32)  # output rows (pass 2)
-    j = jnp.arange(W, dtype=jnp.float32)  # columns
+    i = jnp.arange(Ho, dtype=jnp.float32)  # output rows (pass 2)
+    j = jnp.arange(Wo, dtype=jnp.float32)  # output columns
 
     m = Ms.astype(jnp.float32)  # (N, 3, 3)
 

@@ -74,3 +74,46 @@ def test_backward_is_finite_and_nonzero():
     g = jax.grad(lambda im: jnp.sum(warp_homography_2pass(im, M) ** 2))(img)
     arr = np.asarray(g)
     assert np.isfinite(arr).all() and np.abs(arr).sum() > 0
+
+
+def test_rectangular_upscale_matches_direct():
+    """out_shape != input shape: one warp expresses crop+rescale+rotate
+    (the composed-cutout path). Oracle: direct bilinear sampling on the
+    composed map's output-resolution grid."""
+    Hi = Wi = 32
+    Ho = Wo = 56
+    img = _smooth_image(jax.random.key(5), Hi, Wi)
+    # inverse map: out(56) -> rotate a bit -> scale into the 32px source
+    s = Hi / float(Ho)
+    scale = jnp.diag(jnp.array([s, s, 1.0]))
+    th = jnp.deg2rad(8.0)
+    c, si = jnp.cos(th), jnp.sin(th)
+    cy = cx = (Ho - 1) / 2.0
+    rot = jnp.array(
+        [
+            [c, -si, cy - c * cy + si * cx],
+            [si, c, cx - si * cy - c * cx],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    M = scale @ rot
+    got = warp_homography_2pass(img[None], M[None], out_shape=(Ho, Wo))[0]
+    assert got.shape == (Ho, Wo, 3)
+    grid = homography_grid(Ho, Wo, M)
+    want = bilinear_sample(img, grid)
+    # two-pass vs one-pass interpolation differ at sub-pixel scale under
+    # rotation (module docstring); 3e-2 bounds the border-tap noise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_rectangular_pure_scale_exact_rows():
+    """Axis-aligned scale+translate agrees with direct bilinear exactly
+    (per-pass linear interp composes exactly for separable maps)."""
+    Hi = Wi = 16
+    Ho = Wo = 24
+    img = jax.random.uniform(jax.random.key(6), (Hi, Wi, 3))
+    s = Hi / float(Ho)
+    M = jnp.diag(jnp.array([s, s, 1.0])).at[0, 2].set(1.3).at[1, 2].set(0.4)
+    got = warp_homography_2pass(img[None], M[None], out_shape=(Ho, Wo))[0]
+    want = bilinear_sample(img, homography_grid(Ho, Wo, M))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)

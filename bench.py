@@ -14,7 +14,7 @@ Env knobs:
   BENCH_TARGET (default stage2) stage2 | v2 (VQGAN-CLIP latent-opt
                steps/sec on full-size f16-16384 VQGAN + ViT-B/32,
                reference defaults: 128px, 32 cutouts)
-  BENCH_BATCH  (default 128) per-chip batch size (stage2; 128 = measured best)
+  BENCH_BATCH  (default 256) per-chip batch size (stage2; 256 = measured best)
   BENCH_PRECOMPUTED (default 1) stage2 caption embeddings precomputed
                offline (the frozen-encoder production design; set 0 to
                time the in-step BERT forward instead)
@@ -305,11 +305,14 @@ def main():
     if target == "host":
         bench_host()
         return
-    # Batch 128 is the measured best single-chip operating point (batch 32
-    # = the reference per-replica config runs ~38% slower - the 256px
-    # convs need the larger batch to fill the MXU); critic-loop unroll
-    # lets XLA overlap G2 forwards with critic backwards.
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # Batch 256 is the measured best single-chip operating point
+    # (precomputed-embedding path, round-2 sweep: b128 792 / b192 1132 /
+    # b224 1093 / b256 1122-1272 across runs (steady ~1125, MFU ~0.77;
+    # best observed 1272 at MFU 0.868) / b384 964 / b512 910 img/s —
+    # the 256px convs want the big batch, 224 misaligns the tiling, and
+    # past 256 HBM pressure wins); critic-loop unroll lets XLA overlap
+    # G2 forwards with critic backwards.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     unroll = int(os.environ.get("BENCH_UNROLL", "5"))
     dtype = (

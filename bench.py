@@ -125,14 +125,20 @@ def bench_v2():
 
     vq_cfg = VQGANConfig.imagenet_f16_16384()
     clip_cfg = CLIPConfig.vit_b32()
-    vq_params = VQModel(vq_cfg).init(
-        jax.random.key(0), jnp.zeros((1, 256, 256, 3))
-    )["params"]
-    clip_params = CLIP(clip_cfg).init(
-        jax.random.key(1),
-        jnp.zeros((1, 224, 224, 3)),
-        jnp.zeros((1, 77), jnp.int32),
-    )["params"]
+    # jitted inits: eager flax init of the full models is thousands of
+    # small dispatches — minutes over a tunneled chip, one graph under jit
+    vq_params = jax.jit(
+        lambda k: VQModel(vq_cfg).init(k, jnp.zeros((1, 256, 256, 3)))[
+            "params"
+        ]
+    )(jax.random.key(0))
+    clip_params = jax.jit(
+        lambda k: CLIP(clip_cfg).init(
+            k,
+            jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 77), jnp.int32),
+        )["params"]
+    )(jax.random.key(1))
 
     engine = GenerateEngine(
         vqgan_config=vq_cfg,

@@ -301,6 +301,14 @@ def bench_host():
 
 
 def main():
+    # persistent compilation cache: repeat bench runs (e.g. the driver's
+    # round-end run) skip the ~10-minute b256 stage-2 compile entirely
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a failure
     target = os.environ.get("BENCH_TARGET", "stage2")
     if target == "v2":
         bench_v2()

@@ -206,7 +206,8 @@ def bench_stage1():
         if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
         else jnp.float32
     )
-    cfg = Stage1Config(compute_dtype=dtype, unroll_critic=unroll)
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    cfg = Stage1Config(compute_dtype=dtype, unroll_critic=unroll, remat=remat)
     system = Stage1System(cfg)
     # jit the init: eager flax init of BERT-base is thousands of small
     # dispatches — minutes over a tunneled chip, one graph under jit.

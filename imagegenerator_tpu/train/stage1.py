@@ -355,7 +355,12 @@ class Stage1System:
                     k_drop_hoist if c.text_dropout else None,
                 )
 
-            tem_2b_val, text_vjp = jax.vjp(text_both_2b, enc_proj)
+            # remat: the vjp residuals are the doubled-batch BERT's full
+            # activation stack, which caps the per-chip batch (b256 OOMs
+            # at 16 GB); checkpointing trades one recomputed forward for
+            # that memory, like the gen/critic remat below.
+            text_fn = jax.checkpoint(text_both_2b) if c.remat else text_both_2b
+            tem_2b_val, text_vjp = jax.vjp(text_fn, enc_proj)
             hoisted_tems = (tem_2b_val[:bsz], tem_2b_val[bsz:])
 
         # ---------------- critic inner loop (lax.scan) ----------------

@@ -156,3 +156,25 @@ def test_engine_batched_prompts(engine):
     state, losses = engine.step(state, jax.random.key(6), embeds, w, s)
     assert losses.shape == (2, 1)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_cutout_path_selection_by_geometry():
+    """Magnifying geometries (source <= cut_size) take the composed
+    single-warp path; minifying ones (source > cut_size) keep the
+    antialiased lanczos resample. Both must produce in-range, correctly
+    shaped cutouts from the same key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagegenerator_tpu.v2.cutouts import MakeCutouts
+
+    key = jax.random.key(7)
+    for H, cut in ((24, 32), (64, 32)):  # magnify, minify
+        mc = MakeCutouts(cut_size=cut, cutn=4, augment=True, noise_fac=0.0)
+        img = jax.random.uniform(jax.random.key(1), (2, H, H, 3))
+        out = mc(key, img)
+        assert out.shape == (2 * 4, cut, cut, 3)
+        a = np.asarray(out)
+        assert np.isfinite(a).all()
+        assert a.min() >= -1e-6 and a.max() <= 1.0 + 1e-6

@@ -180,7 +180,12 @@ def bench_v2():
 
     d1, state = timed(steps, state)
     d2, state = timed(2 * steps, state)
-    per_step = max((d2 - d1) / steps, 1e-9)
+    per_step = (d2 - d1) / steps
+    if per_step <= 1e-6:
+        # the differential timing degenerated (async dispatch raced the
+        # two windows on a congested tunnel): fall back to the absolute
+        # second window, which is fence-bounded and always positive
+        per_step = d2 / (2 * steps)
     _emit(
         "vqgan_clip_latent_opt_steps_per_sec",
         batch / per_step,
@@ -238,7 +243,12 @@ def bench_stage1():
 
     d1, state = timed(steps, state)
     d2, state = timed(2 * steps, state)
-    per_step = max((d2 - d1) / steps, 1e-9)
+    per_step = (d2 - d1) / steps
+    if per_step <= 1e-6:
+        # the differential timing degenerated (async dispatch raced the
+        # two windows on a congested tunnel): fall back to the absolute
+        # second window, which is fence-bounded and always positive
+        per_step = d2 / (2 * steps)
     _emit(
         "stage1_64px_train_images_per_sec_per_chip",
         batch / per_step,
@@ -391,7 +401,12 @@ def main():
     # cancels: per-step = (t(2N) - t(N)) / N.
     d1, state = timed(steps, state)
     d2, state = timed(2 * steps, state)
-    per_step = max((d2 - d1) / steps, 1e-9)
+    per_step = (d2 - d1) / steps
+    if per_step <= 1e-6:
+        # the differential timing degenerated (async dispatch raced the
+        # two windows on a congested tunnel): fall back to the absolute
+        # second window, which is fence-bounded and always positive
+        per_step = d2 / (2 * steps)
 
     _emit(
         "stage2_256px_train_images_per_sec_per_chip",

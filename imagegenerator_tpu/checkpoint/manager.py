@@ -81,9 +81,16 @@ class CheckpointManager:
         """Returns (state, start_epoch). ``template`` is an abstract or
         concrete pytree with the target structure/shapes; start_epoch is
         saved_epoch + 1, matching the reference's resume contract
-        (stage_1_train_fn.py:62)."""
+        (stage_1_train_fn.py:62).
+
+        Restores from the PER-EPOCH directory named by the marker, not
+        the rolling ``latest`` dir: the next save() rewrites ``latest``
+        in place (force=True) while the marker still names the previous
+        epoch, so a crash mid-save can leave marker=N with ``latest``
+        torn — but ``epochs/checkpoint_epoch_N`` is immutable once its
+        marker is published, so resume is always from committed bytes."""
         epoch = self.latest_epoch()
         if epoch < 0:
             return None, 0
-        state = self._ckptr.restore(self._latest_dir(), template)
+        state = self._ckptr.restore(self._epoch_dir(epoch), template)
         return state, epoch + 1

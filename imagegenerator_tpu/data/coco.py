@@ -54,14 +54,18 @@ def decode_resize_normalize(data: bytes, size: int) -> np.ndarray:
     path was a plain 2-tap lookup that aliased badly on COCO's ~640px ->
     64px downscale (ADVICE.md) — so native and PIL paths now agree to
     ~1/255 per pixel. For JPEGs the whole decode+resample chain runs in
-    C++ (GIL-free); set IMAGEGEN_FAST_DCT=1 for DCT-domain scaled decode
-    (~3-4x faster, slightly different but still antialiased pixels).
+    C++ (GIL-free). DCT-domain scaled decode (decode directly at the
+    nearest 1/2..1/8 scale, then resample) is ON by default — measured
+    2.07x faster at 640px->256px with photographic-content parity of
+    <1 gray level mean / <=3.3 p99 vs the full decode (round-3 A/B; only
+    synthetic per-pixel noise shows larger deltas). Set
+    IMAGEGEN_FAST_DCT=0 to force the full-resolution decode.
     """
     from imagegenerator_tpu.data import native
 
     if data[:2] == b"\xff\xd8" and native.available():
         out = native.decode_jpeg_resize_normalize(
-            data, size, fast_dct=os.environ.get("IMAGEGEN_FAST_DCT") == "1"
+            data, size, fast_dct=os.environ.get("IMAGEGEN_FAST_DCT", "1") != "0"
         )
         if out is not None:
             return out

@@ -337,10 +337,16 @@ class Stage1System:
         # loop reads its (stopped-gradient) value and the generator step
         # pulls encoder/projection grads back through the saved residuals
         # instead of re-running the forward.
+        # text_resample_per_iter=True ALWAYS takes the per-iteration
+        # branch — even with dropout off, where the two are mathematically
+        # identical — so the re-forward formulation stays independently
+        # exercisable as a gradient oracle for the hoisted vjp plumbing
+        # (tests/test_step_options.py; ADVICE.md round-2: the old
+        # dropout-conditioned dispatch made that comparison vacuous).
         k_drop_hoist = jax.random.fold_in(k_loop, c.n_critic)
         hoisted_tems = None
         text_vjp = None
-        if not (c.text_dropout and c.text_resample_per_iter):
+        if not c.text_resample_per_iter:
             enc_proj = {
                 "encoder": state.params["encoder"],
                 "projection": state.params["projection"],

@@ -39,6 +39,10 @@ class MakeCutouts:
     cut_pow: float = 1.0
     noise_fac: float = 0.1
     augment: bool = True
+    # Force the lanczos3 scale_and_translate path even when the composed
+    # single-warp fast path applies (reference-faithful antialiasing for
+    # A/B comparisons; ADVICE.md round-2).
+    force_lanczos: bool = False
 
     def __call__(self, key: jax.Array, images: jax.Array) -> jax.Array:
         """images: (B, H, W, C) in [0, 1] -> (B * cutn, cut_size,
@@ -65,7 +69,7 @@ class MakeCutouts:
         # The VPU-bound warp weight generation — the v2 step's largest
         # single cost, see benchmarks/PROFILE_v2_r02.md — shrinks with
         # the source width, and the separate lanczos resample vanishes.
-        if self.augment and min(H, W) <= self.cut_size:
+        if self.augment and not self.force_lanczos and min(H, W) <= self.cut_size:
             N = B * self.cutn
             copies = jnp.broadcast_to(images[None], (self.cutn, B, H, W, C))
             copies = copies.transpose(1, 0, 2, 3, 4).reshape(N, H, W, C)
@@ -73,14 +77,20 @@ class MakeCutouts:
             Ms_aug = random_geometry(
                 jax.random.fold_in(k_aug, 1), N, self.cut_size, self.cut_size
             )
-            # crop map: out(cut_size) -> source window [o, o+size)
+            # crop map: out(cut_size) -> source window [o, o+size), with
+            # pixel-CENTER alignment: src = (out + 0.5)*s - 0.5 + o
+            #                             = s*out + o + (s-1)/2,
+            # matching scale_and_translate's half-pixel convention on the
+            # slow path (round 2 omitted the (s-1)/2 term, shifting each
+            # crop by up to half a source pixel — ADVICE.md round-2).
             s = sizes / self.cut_size  # (cutn,)
+            half = (s - 1.0) / 2.0
             zeros = jnp.zeros_like(s)
             ones = jnp.ones_like(s)
             M_crop = jnp.stack(
                 [
-                    jnp.stack([s, zeros, off_y], -1),
-                    jnp.stack([zeros, s, off_x], -1),
+                    jnp.stack([s, zeros, off_y + half], -1),
+                    jnp.stack([zeros, s, off_x + half], -1),
                     jnp.stack([zeros, zeros, ones], -1),
                 ],
                 axis=-2,

@@ -147,10 +147,12 @@ class GenerateEngine:
         return jax.vmap(per_batch)(img_embeds, embeds, weights, stops)
 
     # ---------------------------------------------------------------- step
-    @partial(jax.jit, static_argnums=0, donate_argnums=3)
-    def _step_impl(
+    def _step_body(
         self, vq_params, clip_params, state: LatentState, key, embeds, weights, stops
     ):
+        """One optimization iteration (pure function of its args); shared
+        by the single-step jit and the scan-chained jit."""
+
         def total_loss(z):
             losses = self._losses(
                 z, key, embeds, weights, stops, vq_params, clip_params
@@ -163,11 +165,51 @@ class GenerateEngine:
         z = jnp.clip(z, self.z_min, self.z_max)  # generate.py:178-179
         return LatentState(z=z, opt_state=opt_state, step=state.step + 1), losses
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=3)
+    def _step_impl(
+        self, vq_params, clip_params, state: LatentState, key, embeds, weights, stops
+    ):
+        return self._step_body(
+            vq_params, clip_params, state, key, embeds, weights, stops
+        )
+
     def step(self, state: LatentState, key: jax.Array, embeds, weights, stops):
         """One fused optimization iteration. embeds: (B, P, D); weights,
         stops: (B, P). Returns (new_state, per-prompt losses (B, P))."""
         return self._step_impl(
             self.vqgan_params, self.clip_params, state, key, embeds, weights, stops
+        )
+
+    # ---------------------------------------------------------------- chain
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=3)
+    def _chain_impl(
+        self, vq_params, clip_params, state: LatentState, n: int, key,
+        embeds, weights, stops,
+    ):
+        """``n`` iterations as ONE device dispatch (lax.scan over the step
+        body). The reference's hot loop (generate.py:167-180) is a Python
+        loop with a host round-trip per iteration; a single ~12-15 ms v2
+        step is dispatch-latency-exposed, so between checkins the whole
+        ``display_freq`` window runs device-side (VERDICT.md round-2
+        next #1). Per-iteration keys are ``fold_in(key, state.step)`` —
+        identical to the unchained schedule, so chained and stepwise runs
+        agree (to float-reassociation tolerance across the two compiled
+        programs)."""
+
+        def body(st, _):
+            it_key = jax.random.fold_in(key, st.step)
+            return self._step_body(
+                vq_params, clip_params, st, it_key, embeds, weights, stops
+            )
+
+        return jax.lax.scan(body, state, None, length=n)
+
+    def chain(self, state: LatentState, n: int, key, embeds, weights, stops):
+        """Run ``n`` fused iterations in one dispatch; returns
+        (new_state, per-iteration losses (n, B, P))."""
+        return self._chain_impl(
+            self.vqgan_params, self.clip_params, state, n, key,
+            embeds, weights, stops,
         )
 
     # ---------------------------------------------------------------- run
@@ -182,20 +224,26 @@ class GenerateEngine:
         display_freq: int = 20,
         checkin=None,
     ) -> LatentState:
-        """Python driver loop; host sync only at checkin intervals
-        (the reference syncs every iteration via tqdm/loss prints)."""
-        for i in range(iterations + 1):
-            it_key = jax.random.fold_in(key, i)
+        """Driver loop: each ``display_freq`` window of iterations runs as
+        ONE device dispatch (``chain``); the host only syncs at checkins.
+        The reference syncs every iteration via tqdm/loss prints —
+        dispatch amortization is the TPU-shaped redesign of its hot loop
+        (generate.py:167-180, VERDICT.md round-2 next #1). Key schedule is
+        identical to stepping one iteration at a time."""
+        i = 0
+        while True:
             if checkin is not None and i % display_freq == 0:
                 imgs = self.synth(state.z)
                 losses = self._losses_impl(
                     self.vqgan_params, self.clip_params,
-                    state.z, it_key, embeds, weights, stops,
+                    state.z, jax.random.fold_in(key, i), embeds, weights, stops,
                 )
                 checkin(i, np.asarray(imgs), np.asarray(losses))
-            if i == iterations:
+            if i >= iterations:
                 break
-            state, _ = self.step(state, it_key, embeds, weights, stops)
+            n = min(display_freq - i % display_freq, iterations - i)
+            state, _ = self.chain(state, n, key, embeds, weights, stops)
+            i += n
         return state
 
 

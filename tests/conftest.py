@@ -23,7 +23,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: repeated pytest runs skip XLA recompiles
 # of the train-step graphs (the round-1 suite spent most of its wall time
 # recompiling identical tiny-config HLO — VERDICT.md 'What's weak' #3).
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Scoped per machine so XLA:CPU AOT entries written on another host can't
+# poison this one (round-2 weak #6).
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from imagegenerator_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))

@@ -26,6 +26,26 @@ def test_save_restore_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_restore_survives_torn_latest(tmp_path):
+    """A crash during the NEXT save can tear the rolling ``latest`` dir
+    while the marker still names the previous committed epoch; resume
+    must come from the immutable per-epoch dir (ADVICE.md round-2
+    medium: restore_latest previously read ``latest`` and would raise)."""
+    import shutil
+
+    system = Stage1System(Stage1Config.tiny(n_critic=1))
+    state = system.init(jax.random.key(0), 2)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every_epochs=10)
+    mgr.save(0, state)
+    mgr.wait()
+    # simulate the in-flight save(10) crashing after erasing `latest`
+    shutil.rmtree(tmp_path / "ckpt" / "latest")
+    restored, start_epoch = mgr.restore_latest(jax.tree.map(np.zeros_like, state))
+    assert start_epoch == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_async_marker_never_precedes_commit(tmp_path):
     """save() returns with the write in flight; the LATEST_EPOCH marker
     must only ever name a COMMITTED checkpoint — published at the next

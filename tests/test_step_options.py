@@ -69,16 +69,48 @@ def test_per_iter_text_resampling_mode():
 
 
 def test_per_iter_equals_hoisted_without_dropout():
-    """With dropout OFF the two text policies are mathematically the
-    same computation — the flag must not change numerics."""
+    """Gradient-equivalence oracle for the hoisted-vjp text plumbing
+    (the concatenated-zero cotangent routed through text_vjp): with
+    dropout OFF, per_iter=True re-forwards the encoder inside the
+    generator loss (straightforward jax.grad formulation) while
+    per_iter=False routes encoder/projection grads through the saved
+    vjp — mathematically identical, so metrics AND the updated
+    encoder/projection parameters must agree. (ADVICE.md round-2: the
+    old dispatch sent both flag values down the hoisted branch, making
+    this comparison vacuous; stage1 now honors per_iter unconditionally.)
+    """
+    import optax
+
+    from imagegenerator_tpu.train.stage1 import MODULES
+
     base = dict(n_critic=1, text_dropout=False)
-    outs = []
+    metrics_out, deltas_out = [], []
     for per_iter in (False, True):
         cfg = Stage1Config.tiny(**base, text_resample_per_iter=per_iter)
         system = Stage1System(cfg)
+        # plain SGD(1.0): param delta == -gradient exactly, so the grad
+        # comparison below is direct (Adam would amplify float noise at
+        # near-zero-grad coords into +-lr sign flips)
+        system.tx = {m: optax.sgd(1.0) for m in MODULES}
         state = system.init(jax.random.key(0), B)
         step = make_train_step(system, donate=False)
-        _, metrics = step(state, _batch(cfg), jax.random.key(2))
-        outs.append({k: float(v) for k, v in metrics.items()})
-    for k in outs[0]:
-        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-5, err_msg=k)
+        new_state, metrics = step(state, _batch(cfg), jax.random.key(2))
+        metrics_out.append({k: float(v) for k, v in metrics.items()})
+        deltas_out.append(
+            jax.tree.map(
+                lambda n, o: np.asarray(n) - np.asarray(o),
+                new_state.params,
+                state.params,
+            )
+        )
+    for k in metrics_out[0]:
+        np.testing.assert_allclose(
+            metrics_out[0][k], metrics_out[1][k], rtol=1e-5, err_msg=k
+        )
+    # the vjp-routed encoder/projection gradients must equal the inline
+    # re-forward formulation's jax.grad
+    for mod in ("encoder", "projection"):
+        for x, y in zip(
+            jax.tree.leaves(deltas_out[0][mod]), jax.tree.leaves(deltas_out[1][mod])
+        ):
+            np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-7, err_msg=mod)

@@ -132,6 +132,54 @@ def test_engine_end_to_end(engine):
     np.testing.assert_array_equal(np.asarray(state2.z), z)
 
 
+def test_chain_matches_stepwise(engine):
+    """chain(n) (the one-dispatch lax.scan over display_freq iterations,
+    VERDICT.md round-2 next #1) follows the same per-iteration key
+    schedule as n single steps — fold_in(key, step) — so results agree
+    to float-reassociation tolerance (the scan body and the standalone
+    jit compile to differently-fused programs), and chain itself is
+    bit-deterministic."""
+    z0 = engine.random_token_latent(jax.random.key(7), 1, 2, 2)
+    z0_np = np.asarray(z0)
+    tok = FallbackTokenizer(
+        context_length=engine.clip_config.context_length,
+        vocab_size=engine.clip_config.vocab_size,
+    )
+    emb = np.asarray(engine.encode_text(tok(["a chained run"])))[0]
+    embeds, w, s = pad_prompt_specs([emb], [1.0], [float("-inf")])
+    embeds, w, s = jnp.asarray(embeds), jnp.asarray(w), jnp.asarray(s)
+    key = jax.random.key(8)
+
+    state_a = engine.init_state(jnp.asarray(z0_np))
+    stepwise_losses = []
+    for i in range(4):
+        state_a, li = engine.step(
+            state_a, jax.random.fold_in(key, i), embeds, w, s
+        )
+        stepwise_losses.append(np.asarray(li))
+    z_a = np.asarray(state_a.z)
+
+    state_b = engine.init_state(jnp.asarray(z0_np))
+    state_b, losses_b = engine.chain(state_b, 4, key, embeds, w, s)
+    z_b = np.asarray(state_b.z)
+    np.testing.assert_allclose(z_b, z_a, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(losses_b), np.stack(stepwise_losses), rtol=2e-5, atol=2e-6
+    )
+    assert int(state_b.step) == 4
+
+    # chain is bit-deterministic under the same key
+    state_b2 = engine.init_state(jnp.asarray(z0_np))
+    state_b2, _ = engine.chain(state_b2, 4, key, embeds, w, s)
+    np.testing.assert_array_equal(np.asarray(state_b2.z), z_b)
+
+    # split chains continue the key schedule seamlessly (run()'s windows)
+    state_c = engine.init_state(jnp.asarray(z0_np))
+    state_c, _ = engine.chain(state_c, 2, key, embeds, w, s)
+    state_c, _ = engine.chain(state_c, 2, key, embeds, w, s)
+    np.testing.assert_allclose(np.asarray(state_c.z), z_b, rtol=2e-5, atol=2e-6)
+
+
 def test_engine_synth_range(engine):
     z = engine.random_token_latent(jax.random.key(4), 2, 2, 2)
     out = engine.synth(z)

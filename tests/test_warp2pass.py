@@ -106,6 +106,34 @@ def test_rectangular_upscale_matches_direct():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
 
 
+def test_crop_matrix_matches_scale_and_translate():
+    """The composed-cutout crop matrix (cutouts.py M_crop) must carry the
+    (s-1)/2 pixel-center term so the fast path samples the same window
+    as the slow path's scale_and_translate (ADVICE.md round-2: round 2
+    omitted it, shifting crops by up to half a source pixel). Oracle:
+    scale_and_translate with a triangle kernel, which IS bilinear for
+    magnification."""
+    H = W = 16
+    out = 24
+    size, oy, ox = 10.0, 2.5, 3.25  # interior window: edge clamp can't differ
+    img = _smooth_image(jax.random.key(7), H, W)[None]
+    s = size / out
+    M = jnp.array(
+        [
+            [s, 0.0, oy + (s - 1.0) / 2.0],
+            [0.0, s, ox + (s - 1.0) / 2.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    got = warp_homography_2pass(img, M[None], out_shape=(out, out))[0]
+    scale = jnp.full((2,), out / size)
+    translation = -jnp.array([oy, ox]) * (out / size)
+    want = jax.image.scale_and_translate(
+        img, (1, out, out, 3), (1, 2), scale, translation, method="linear"
+    )[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
 def test_rectangular_pure_scale_exact_rows():
     """Axis-aligned scale+translate agrees with direct bilinear exactly
     (per-pass linear interp composes exactly for separable maps)."""

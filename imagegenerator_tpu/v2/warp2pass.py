@@ -33,12 +33,32 @@ denominator is eps-guarded regardless.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
 def _safe_div(num, den, eps=1e-8):
     return num / jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+
+
+def _kernel_mode():
+    """(use_kernel, interpret): IMAGEGEN_WARP_KERNEL=1 enables the Pallas
+    banded-lerp kernel (interpret-mode off-TPU, for tests); default is
+    the dense einsum path. The kernel is gradient-exact and cuts
+    per-element work O(K)->O(1), but on v5e the measured fwd+bwd warp is
+    ~10% SLOWER than the dense path (4.14 vs 3.77 ms at the 32x128->224
+    default): Mosaic's per-sublane dynamic_gather throughput plus the
+    channel-major transposes eat the element-count win at these sizes
+    (see benchmarks/PROFILE_v2_r03.md). Kept opt-in — it scales better
+    with O (dense cost is O*K, kernel is O) and is the right shape for
+    larger resamples."""
+    env = os.environ.get("IMAGEGEN_WARP_KERNEL")
+    on_tpu = jax.default_backend() == "tpu"
+    if env == "1":
+        return True, not on_tpu
+    return False, False
 
 
 def _line_weights(coords, in_size, dtype=jnp.bfloat16):
@@ -57,6 +77,58 @@ def _line_weights(coords, in_size, dtype=jnp.bfloat16):
     return jnp.maximum(0.0, 1.0 - jnp.abs(s[..., None] - k)).astype(dtype)
 
 
+def _warp_kernel_path(images, m, Ho, Wo, interpret):
+    """Banded 2-tap formulation of both passes via the Pallas scanline
+    kernel (ops/pallas/scanline_lerp.py): each weight row of the dense
+    tent matrices has exactly two nonzeros, so the forward contraction is
+    a gather+lerp — O(1) per output instead of O(K); the backward is the
+    XLA-fused transposed contraction (see the kernel's docstring for the
+    measured split). Forward weights are identical to ``_line_weights``
+    up to the dense path's bf16 weight cast."""
+    from imagegenerator_tpu.ops.pallas.scanline_lerp import scanline_lerp
+
+    N, H, W, C = images.shape
+    y = jnp.arange(H, dtype=jnp.float32)
+    i = jnp.arange(Ho, dtype=jnp.float32)
+    j = jnp.arange(Wo, dtype=jnp.float32)
+
+    def mc(r, c):  # (N, 1) homography coefficient columns
+        return m[:, r, c][:, None]
+
+    # ---- pass 1 (horizontal): hx(y, j), linear-fractional in j with
+    # per-(image, source-row) coefficients:
+    #   a1 = m10 (m21 y - m01) + m11 (m00 - m20 y)   [j coefficient]
+    #   b1 = m10 (m22 y - m02) + m12 (m00 - m20 y)   [constant]
+    #   a2/b2: same with m10->m20, m11->m21, m12->m22
+    acy = mc(0, 0) - mc(2, 0) * y[None, :]  # (N, H)
+    a1 = mc(1, 0) * (mc(2, 1) * y[None, :] - mc(0, 1)) + mc(1, 1) * acy
+    b1 = mc(1, 0) * (mc(2, 2) * y[None, :] - mc(0, 2)) + mc(1, 2) * acy
+    a2 = mc(2, 0) * (mc(2, 1) * y[None, :] - mc(0, 1)) + mc(2, 1) * acy
+    b2 = mc(2, 0) * (mc(2, 2) * y[None, :] - mc(0, 2)) + mc(2, 2) * acy
+    hx = _safe_div(
+        a1[..., None] * j + b1[..., None], a2[..., None] * j + b2[..., None]
+    )  # (N, H, Wo)
+
+    src1 = images.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N * H, C, W)
+    i1 = scanline_lerp(
+        src1, hx.reshape(N * H, Wo), interpret=interpret
+    )  # (N*H, C, Wo)
+
+    # ---- pass 2 (vertical): sy(i, j) per output column j
+    bj = mc(0, 1) * j + mc(0, 2)  # (N, Wo)
+    dj = mc(2, 1) * j + mc(2, 2)  # (N, Wo)
+    sy = _safe_div(
+        mc(0, 0)[..., None] * i + bj[..., None],
+        mc(2, 0)[..., None] * i + dj[..., None],
+    )  # (N, Wo, Ho)
+
+    src2 = i1.reshape(N, H, C, Wo).transpose(0, 3, 2, 1).reshape(N * Wo, C, H)
+    out2 = scanline_lerp(
+        src2, sy.reshape(N * Wo, Ho), interpret=interpret
+    )  # (N*Wo, C, Ho)
+    return out2.reshape(N, Wo, C, Ho).transpose(0, 3, 1, 2)  # (N, Ho, Wo, C)
+
+
 def warp_homography_2pass(
     images: jax.Array, Ms: jax.Array, out_shape: tuple | None = None
 ) -> jax.Array:
@@ -68,6 +140,15 @@ def warp_homography_2pass(
     N, H, W, C = images.shape
     Ho, Wo = out_shape if out_shape is not None else (H, W)
     out_dtype = images.dtype
+    use_kernel, interpret = _kernel_mode()
+    # Mosaic's dynamic_gather needs the gathered (source) axis within one
+    # vreg: pass 1 gathers along W, pass 2 along H — dense fallback above
+    from imagegenerator_tpu.ops.pallas.scanline_lerp import MAX_GATHER_K
+
+    if use_kernel and max(H, W) <= MAX_GATHER_K:
+        return _warp_kernel_path(
+            images, Ms.astype(jnp.float32), Ho, Wo, interpret
+        ).astype(out_dtype)
     y = jnp.arange(H, dtype=jnp.float32)  # source rows (pass 1)
     i = jnp.arange(Ho, dtype=jnp.float32)  # output rows (pass 2)
     j = jnp.arange(Wo, dtype=jnp.float32)  # output columns

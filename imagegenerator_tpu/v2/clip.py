@@ -214,12 +214,14 @@ class _PatchEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (p, p, C, self.width)
         )
         dtype = self.dtype or images.dtype
-        x = images.reshape(B, H // p, p, W // p, p, C)
+        # cast BEFORE the 6-D patch transpose: the reorganization moves no
+        # math, and at bf16 the transpose (and its backward mirror) moves
+        # half the HBM bytes — the fwd cast + bwd reshape were 0.66 ms of
+        # the v2 step at f32 (benchmarks/PROFILE_v2_r03.md)
+        x = images.astype(dtype).reshape(B, H // p, p, W // p, p, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p), p * p * C)
         k = kernel.reshape(p * p * C, self.width)  # (kh, kw, in) row-major
-        return jnp.dot(
-            x.astype(dtype), k.astype(dtype), preferred_element_type=dtype
-        )
+        return jnp.dot(x, k.astype(dtype), preferred_element_type=dtype)
 
 
 class VisionTransformer(nn.Module):

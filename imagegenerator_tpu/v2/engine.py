@@ -232,17 +232,25 @@ class GenerateEngine:
         identical to stepping one iteration at a time."""
         i = 0
         while True:
-            if checkin is not None and i % display_freq == 0:
+            do_checkin = checkin is not None and i % display_freq == 0
+            if do_checkin:
+                # dispatch only — the host fetch happens AFTER the next
+                # chain is enqueued, so the readback round-trip overlaps
+                # device compute instead of stalling it (donation of
+                # state.z by the chain is safe: the runtime retires
+                # pending readers before reusing a donated buffer)
                 imgs = self.synth(state.z)
                 losses = self._losses_impl(
                     self.vqgan_params, self.clip_params,
                     state.z, jax.random.fold_in(key, i), embeds, weights, stops,
                 )
+            if i < iterations:
+                n = min(display_freq - i % display_freq, iterations - i)
+                state, _ = self.chain(state, n, key, embeds, weights, stops)
+            if do_checkin:
                 checkin(i, np.asarray(imgs), np.asarray(losses))
             if i >= iterations:
                 break
-            n = min(display_freq - i % display_freq, iterations - i)
-            state, _ = self.chain(state, n, key, embeds, weights, stops)
             i += n
         return state
 

@@ -352,26 +352,26 @@ class Stage2System:
             tem_mis = tem[perm]
         else:
             tokens, mask = batch["input_ids"], batch["attention_mask"]
-            tokens_mis, mask_mis = tokens[perm], mask[perm]
             # Frozen text embeddings: encoder is eval-mode + frozen, so tem
-            # is loop-invariant — compute matched+mismatched ONCE as a
-            # doubled batch and reuse across all critic iterations (the
-            # reference recomputes 2 BERT forwards per iteration; hoisting
-            # is exact because eval-mode BERT is deterministic).
-            tokens_2b = jnp.concatenate([tokens, tokens_mis], axis=0)
-            mask_2b = jnp.concatenate([mask, mask_mis], axis=0)
+            # is loop-invariant — ONE batch-B forward reused across all
+            # critic iterations (the reference recomputes 2 BERT forwards
+            # per iteration). The mismatched condition is the SAME
+            # captions permuted, and eval-mode BERT is deterministic, so
+            # tem_mis = tem[perm] exactly — round 2 ran a doubled-batch
+            # (matched+mismatched) forward, i.e. 2x the needed encoder
+            # FLOPs (VERDICT.md round-2 next #8).
             hidden = self.encoder.apply(
                 {"params": state.frozen_params["encoder"]},
-                tokens_2b,
-                mask_2b,
+                tokens,
+                mask,
                 deterministic=True,
             )
-            tem_2b = self.projection.apply(
+            tem = self.projection.apply(
                 {"params": state.frozen_params["projection"]},
                 hidden[:, 0, :].astype(jnp.float32),
             )
-            tem = jax.lax.stop_gradient(tem_2b[:bsz])
-            tem_mis = jax.lax.stop_gradient(tem_2b[bsz:])
+            tem = jax.lax.stop_gradient(tem)
+            tem_mis = tem[perm]
 
         def frozen_64(k_ca1, k_z):
             c_hat1, _, _ = self.con_augment_1.apply(

@@ -64,11 +64,19 @@ class CheckpointManager:
         self._pending_epoch = epoch
 
     def wait(self) -> None:
-        """Barrier any in-flight save and publish its marker."""
+        """Barrier any in-flight save and publish its marker.
+
+        The marker is written by PROCESS 0 ONLY (multi-host: every
+        process barriers the save, one writes the pointer — round 2 had
+        every process write identical bytes, which is benign on GCS but
+        a racy contract; VERDICT.md weak #5)."""
         if self._pending_epoch is None:
             return
         self._ckptr.wait_until_finished()
-        epath.Path(self._marker()).write_text(str(self._pending_epoch))
+        import jax
+
+        if jax.process_index() == 0:
+            epath.Path(self._marker()).write_text(str(self._pending_epoch))
         self._pending_epoch = None
 
     def latest_epoch(self) -> int:

@@ -37,9 +37,21 @@ def machine_fingerprint() -> str:
 def setup_compilation_cache(base_dir: str, min_compile_secs: float = 0.5) -> str:
     """Point JAX's persistent compilation cache at
     ``base_dir/<machine_fingerprint>``; returns the scoped path. Never
-    raises — the cache is an optimization, not a dependency."""
+    raises — the cache is an optimization, not a dependency.
+
+    No-op on the CPU backend: XLA:CPU entries embed AOT host code whose
+    recorded target features include tuning pseudo-features
+    (+prefer-no-scatter/+prefer-no-gather) that host feature detection
+    never reports, so EVERY reload — even a same-machine round-trip —
+    logs "could lead to SIGILL" loader errors (measured; the round-2
+    dryrun tail). CPU compiles here are the tiny health-check graphs
+    (~1 min cold), so the cache buys little and costs a red-looking
+    health check; TPU entries are serialized portable HLO and keep the
+    ~10-min stage-2 compile amortized."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return ""
     path = os.path.join(base_dir, machine_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -47,13 +47,15 @@ def _kernel_mode():
     """(use_kernel, interpret): IMAGEGEN_WARP_KERNEL=1 enables the Pallas
     banded-lerp kernel (interpret-mode off-TPU, for tests); default is
     the dense einsum path. The kernel is gradient-exact and cuts
-    per-element work O(K)->O(1), but on v5e the measured fwd+bwd warp is
-    ~10% SLOWER than the dense path (4.14 vs 3.77 ms at the 32x128->224
-    default): Mosaic's per-sublane dynamic_gather throughput plus the
-    channel-major transposes eat the element-count win at these sizes
-    (see benchmarks/PROFILE_v2_r03.md). Kept opt-in — it scales better
-    with O (dense cost is O*K, kernel is O) and is the right shape for
-    larger resamples."""
+    per-element work O(K)->O(1), and its FORWARD in isolation is 2.3x
+    faster than the dense contraction — but the whole v2 step measures
+    SLOWER with it (67.2 vs 73.1 steps/s median-of-5 on v5e at the
+    32x128->224 default): the channel-major transposes + f32 kernel I/O
+    around the pallas_call, and the fusion barrier it puts in the middle
+    of the augmentation graph, cost more than the forward win (see
+    benchmarks/PROFILE_v2_r03.md). Kept opt-in — it scales better with O
+    (dense cost is O*K, kernel is O) and is the right shape for larger
+    resamples."""
     env = os.environ.get("IMAGEGEN_WARP_KERNEL")
     on_tpu = jax.default_backend() == "tpu"
     if env == "1":

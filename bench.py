@@ -106,6 +106,54 @@ def _peak_flops() -> float:
     return 0.0  # unknown device: mfu omitted
 
 
+_ROOFLINE_CACHE = []
+
+
+def _session_roofline() -> float:
+    """Achievable bf16 GEMM TFLOP/s on THIS chip RIGHT NOW (chained
+    8192^3 matmuls, readback-fenced), cached per process and emitted
+    once as its own metric line.
+
+    Why: the tunneled chip is shared; its deliverable rate varies by
+    session (measured 121-190 TFLOP/s on the same nominal v5e across
+    days). MFU against the 197 paper peak therefore conflates code
+    quality with chip state. Each metric also records
+    pct_of_session_roofline — the fraction of what the chip could
+    actually deliver in the same session — which IS comparable across
+    sessions. Skipped on CPU (mfu is meaningless there)."""
+    if _ROOFLINE_CACHE:
+        return _ROOFLINE_CACHE[0]
+    if jax.default_backend() == "cpu" or os.environ.get("BENCH_ROOFLINE") == "0":
+        _ROOFLINE_CACHE.append(0.0)
+        return 0.0
+    import numpy as np
+
+    n, reps = 8192, 10
+    k = jax.random.key(0)
+    a = jax.random.normal(k, (n, n), jnp.bfloat16)
+    b = jax.random.normal(k, (n, n), jnp.bfloat16)
+    f = jax.jit(lambda x, y, s: (x @ y) * s)
+    _ = np.asarray(f(a, b, 1.0)[0, :8])  # warm + fence
+    best = 0.0
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        c = a
+        for i in range(reps):
+            c = f(c, b, 1.0 + i * 1e-6)  # distinct scalar defeats caching
+        _ = np.asarray(c[0, :8])
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * n**3 * reps / dt / 1e12)
+    _ROOFLINE_CACHE.append(best)
+    peak = _peak_flops()
+    _emit(
+        "session_gemm_roofline_tflops",
+        best,
+        "TFLOP/s",
+        **({"pct_of_paper_peak": round(100 * best * 1e12 / peak, 1)} if peak else {}),
+    )
+    return best
+
+
 def _mfu_extras(compiled, per_exec_seconds: float, steps_per_exec: int = 1) -> dict:
     """MFU + achieved TFLOP/s from the compiled executable's own cost
     analysis (per-execution FLOPs of the optimized HLO — exact for the
@@ -127,6 +175,9 @@ def _mfu_extras(compiled, per_exec_seconds: float, steps_per_exec: int = 1) -> d
     peak = _peak_flops()
     if peak > 0:
         extras["mfu"] = round(achieved / peak, 4)
+    roof = _session_roofline()
+    if roof > 0:
+        extras["pct_of_session_roofline"] = round(achieved / 1e10 / roof, 1)
     return extras
 
 
@@ -459,19 +510,17 @@ def bench_e2e():
     ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
     tok = HashTokenizer(max_length=system.config.seq_len)
 
-    def embed_fn(ids, mask):
-        return system.embed_texts(state, ids, mask)
-
     tems = precompute_caption_embeddings(
-        embed_fn,
+        system.embed_texts,
         tok,
         [e.caption for e in ds.entries],
         system.config.tem_size,
         batch_size=batch,
+        params=state,
     )
     loader = DataLoader(
         PrecomputedTextDataset(ds, tems),
-        TemCollate(),
+        TemCollate(dtype=np.asarray(jnp.zeros(0, dtype)).dtype),
         batch_size=batch,
         num_workers=workers,
     )
@@ -512,6 +561,7 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
     target = os.environ.get("BENCH_TARGET", "all")
+    _session_roofline()  # chip-state context line first (no-op on CPU)
     if target == "all":
         # headline LAST: the driver parses the final JSON line
         bench_host()

@@ -38,11 +38,18 @@ def precompute_caption_embeddings(
     batch_size: int = 256,
     store=None,
     cache_prefix: str = "text_cache",
+    params=None,
 ) -> np.ndarray:
     """Embed every caption through ``embed_fn(tokens, mask) -> (B, tem)``.
 
     With a ``store``, the table is cached under a content hash of the
     captions, so repeated runs (and resumed jobs) skip the encoder sweep.
+
+    Pass the encoder weights via ``params`` (calling convention becomes
+    ``embed_fn(params, tokens, mask)``) rather than closing over them:
+    closure-captured weights become CONSTANTS in the jitted HLO, and a
+    BERT-base's ~400 MB constant payload overflows remote-compile
+    transports (observed: the axon tunnel rejects it with HTTP 413).
     """
     cache_path = None
     if store is not None:
@@ -59,8 +66,10 @@ def precompute_caption_embeddings(
         # pad the ragged tail so one compiled shape serves every chunk
         padded = chunk + [""] * (batch_size - len(chunk))
         toks = tokenizer(padded)
-        tem = embed_jit(
-            jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"])
+        ids = jnp.asarray(toks["input_ids"])
+        mask = jnp.asarray(toks["attention_mask"])
+        tem = embed_jit(params, ids, mask) if params is not None else embed_jit(
+            ids, mask
         )
         out[start : start + len(chunk)] = np.asarray(tem)[: len(chunk)]
 
@@ -90,7 +99,12 @@ class PrecomputedTextDataset:
 
 class TemCollate:
     """Collate for precomputed embeddings: stacks tem rows (the tokenizer
-    role in the standard loader)."""
+    role in the standard loader). ``dtype`` must match the dtype the
+    train step was compiled against (e.g. ml_dtypes.bfloat16 for a bf16
+    step — AOT-compiled executables reject mismatched argument dtypes)."""
+
+    def __init__(self, dtype=np.float32):
+        self.dtype = dtype
 
     def __call__(self, tems: list[np.ndarray]) -> dict[str, np.ndarray]:
-        return {"tem": np.stack(tems).astype(np.float32)}
+        return {"tem": np.stack(tems).astype(self.dtype)}

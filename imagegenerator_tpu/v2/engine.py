@@ -202,7 +202,14 @@ class GenerateEngine:
                 vq_params, clip_params, st, it_key, embeds, weights, stops
             )
 
-        return jax.lax.scan(body, state, None, length=n)
+        # IMAGEGEN_CHAIN_UNROLL replicates the step body inside the scan,
+        # shrinking per-iteration loop bookkeeping and giving XLA a wider
+        # window to overlap across iterations; A/B-measured (see
+        # benchmarks/PROFILE_v2_r03.md) before changing the default.
+        import os
+
+        unroll = int(os.environ.get("IMAGEGEN_CHAIN_UNROLL", "1"))
+        return jax.lax.scan(body, state, None, length=n, unroll=max(1, unroll))
 
     def chain(self, state: LatentState, n: int, key, embeds, weights, stops):
         """Run ``n`` fused iterations in one dispatch; returns

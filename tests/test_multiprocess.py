@@ -28,6 +28,10 @@ def test_two_process_distributed(tmp_path):
     ckdir = str(tmp_path / "ckpt")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers provision their own devices
+    # Hermetic import: the workers run as scripts (script dir on
+    # sys.path, not cwd), so make the repo root importable regardless
+    # of whether the package is pip-installed in this environment.
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [

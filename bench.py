@@ -29,6 +29,14 @@ Env knobs:
   BENCH_REPS   (default 5)  timed windows per metric (median reported)
   BENCH_CHAIN  (default 20) v2 iterations per dispatch (display_freq)
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
+  BENCH_GELU   (default exact) text-encoder GELU: exact (HF-faithful
+               erf) | tanh (approximation, ~9% faster stage-1 step)
+  BENCH_RNG    (default threefry) in-step PRNG impl: '' | rbg (~8%
+               faster stage-1 step on top of tanh GELU; deterministic,
+               different bitstream)
+  BENCH_LN     (default xla) text-encoder LayerNorm impl: xla | pallas
+               (fused one-pass LayerNorm VJP kernel,
+               ops/pallas/layernorm.py)
 """
 
 import json
@@ -288,11 +296,36 @@ def _timed_step_windows(compiled, state, data, steps):
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = compiled(
-                state, data, jax.random.fold_in(jax.random.key(3 + r), i)
+                state, data, jax.random.fold_in(_bench_key(3 + r), i)
             )
         _fence(metrics)
         samples.append((time.perf_counter() - t0) / steps)
     return samples, state
+
+
+def _bench_key(seed: int):
+    """Step key honoring BENCH_RNG (default threefry; 'rbg' is the fast
+    deterministic alternative — the key array carries its impl, so the
+    step lowers for whichever is passed)."""
+    impl = os.environ.get("BENCH_RNG")
+    return jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
+
+
+def _bench_bert_cfg():
+    """Text-encoder config for the training benches. BENCH_GELU=tanh
+    selects the tanh GELU approximation (~9% faster stage-1 step,
+    semantics diverge ~1e-3 from HF SpanBERT's exact erf — see
+    BertConfig.gelu_approximate); default stays checkpoint-faithful."""
+    import dataclasses
+
+    from imagegenerator_tpu.models.bert import BertConfig
+
+    cfg = BertConfig()
+    if os.environ.get("BENCH_GELU", "exact") == "tanh":
+        cfg = dataclasses.replace(cfg, gelu_approximate=True)
+    if os.environ.get("BENCH_LN", "xla") == "pallas":
+        cfg = dataclasses.replace(cfg, fused_ln=True)
+    return cfg
 
 
 def bench_stage1():
@@ -313,7 +346,10 @@ def bench_stage1():
         else jnp.float32
     )
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    cfg = Stage1Config(compute_dtype=dtype, unroll_critic=unroll, remat=remat)
+    cfg = Stage1Config(
+        compute_dtype=dtype, unroll_critic=unroll, remat=remat,
+        bert=_bench_bert_cfg(),
+    )
     system = Stage1System(cfg)
     # jit the init: eager flax init of BERT-base is thousands of small
     # dispatches — minutes over a tunneled chip, one graph under jit.
@@ -329,8 +365,8 @@ def bench_stage1():
         ),
     }
     step = make_train_step(system, donate=True)
-    compiled = step.lower(state, data, jax.random.key(2)).compile()
-    state, metrics = compiled(state, data, jax.random.key(2))
+    compiled = step.lower(state, data, _bench_key(2)).compile()
+    state, metrics = compiled(state, data, _bench_key(2))
     _fence(metrics)
 
     samples, state = _timed_step_windows(compiled, state, data, steps)
@@ -423,7 +459,9 @@ def _stage2_setup(batch, dtype, unroll, precomputed):
         make_train_step,
     )
 
-    cfg = Stage2Config(compute_dtype=dtype, unroll_critic=unroll)
+    cfg = Stage2Config(
+        compute_dtype=dtype, unroll_critic=unroll, bert=_bench_bert_cfg()
+    )
     system = Stage2System(cfg)
     state = jax.jit(system.init, static_argnums=1)(jax.random.key(0), batch)
     kt, ki = jax.random.split(jax.random.key(1))
@@ -445,7 +483,7 @@ def _stage2_setup(batch, dtype, unroll, precomputed):
         batch_data = {"tem": tem, "image": batch_data["image"]}
     batch_data = jax.device_put(batch_data)
     step = make_train_step(system, donate=True)
-    compiled = step.lower(state, batch_data, jax.random.key(2)).compile()
+    compiled = step.lower(state, batch_data, _bench_key(2)).compile()
     return system, state, batch_data, compiled
 
 
@@ -464,7 +502,7 @@ def bench_stage2():
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
     _, state, batch_data, compiled = _stage2_setup(batch, dtype, unroll, precomputed)
 
-    state, metrics = compiled(state, batch_data, jax.random.key(2))
+    state, metrics = compiled(state, batch_data, _bench_key(2))
     _fence(metrics)
     samples, state = _timed_step_windows(compiled, state, batch_data, steps)
     med, stats = _median_stats(samples)
@@ -533,7 +571,7 @@ def bench_e2e():
     t0 = time.perf_counter()
     for i, dev_batch in enumerate(it):
         state, metrics = compiled(
-            state, dev_batch, jax.random.fold_in(jax.random.key(3), i)
+            state, dev_batch, jax.random.fold_in(_bench_key(3), i)
         )
         count += batch
     _fence(metrics)

@@ -36,6 +36,22 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.1
+    # GELU flavor. False = exact erf GELU — what HF BERT/SpanBERT compute,
+    # so checkpoint-faithful fine-tuning keeps it. True = tanh
+    # approximation: ~9% faster whole-step on v5e (the erf fwd+bwd rides
+    # fused into the FFN matmuls' epilogues and was ~2.1 ms/step of their
+    # time at batch 128; benchmarks/PROFILE_stage1_r03.md), numerically
+    # within ~1e-3 of exact. Set via --gelu tanh / BENCH_GELU=tanh.
+    gelu_approximate: bool = False
+    # LayerNorm implementation. True routes every LayerNorm through the
+    # fused Pallas forward+VJP kernel (ops/pallas/layernorm.py): one HBM
+    # pass computes dx+dgamma+dbeta instead of XLA's separate reduces —
+    # targets the ~27 ms/step of backward reduce_sum + unfused f32
+    # elementwise profiled in benchmarks/PROFILE_stage1_r03.md. Same
+    # f32-statistics numerics as nn.LayerNorm (parity-tested); falls
+    # back to the plain formula off-TPU (interpret mode) and for hidden
+    # sizes not divisible by 128. Set via --fused_ln / BENCH_LN=pallas.
+    fused_ln: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 128) -> "BertConfig":
@@ -47,6 +63,36 @@ class BertConfig:
             intermediate_size=32,
             max_position_embeddings=64,
         )
+
+
+class _FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` (same param names/shapes/init) that
+    dispatches to the fused Pallas kernel on TPU. Off-TPU or at
+    unsupported widths it computes the identical f32 formula inline, so
+    checkpoints and param trees are interchangeable with the XLA build."""
+
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        from imagegenerator_tpu.ops.pallas import layernorm as _lnk
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        on_tpu = jax.default_backend() == "tpu"
+        if _lnk.supported(d):
+            return _lnk.fused_layernorm(x, scale, bias, self.epsilon, not on_tpu)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        return (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
+def _make_ln(cfg: "BertConfig", name: str):
+    if cfg.fused_ln:
+        return _FusedLayerNorm(cfg.layer_norm_eps, name=name)
+    return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
 
 
 class _SelfAttention(nn.Module):
@@ -87,12 +133,12 @@ class _Layer(nn.Module):
             x, mask, deterministic
         )
         attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_ln")(x + attn)
+        x = _make_ln(cfg, "attention_ln")(x + attn)
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
-        y = jax.nn.gelu(y, approximate=False)
+        y = jax.nn.gelu(y, approximate=cfg.gelu_approximate)
         y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(y)
         y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_ln")(x + y)
+        return _make_ln(cfg, "output_ln")(x + y)
 
 
 class BertEncoder(nn.Module):
@@ -123,7 +169,7 @@ class BertEncoder(nn.Module):
             token_type_ids
         )
         x = word + pos + typ
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln")(x)
+        x = _make_ln(cfg, "embeddings_ln")(x)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
         if self.dtype is not None:
             x = x.astype(self.dtype)

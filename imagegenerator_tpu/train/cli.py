@@ -64,6 +64,21 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
     p.add_argument("--bert_vocab", type=int, default=28996)
+    p.add_argument("--rng_impl", choices=["threefry2x32", "rbg"], default=None,
+                   help="PRNG implementation for in-step randomness "
+                        "(default: JAX's threefry). 'rbg' is ~8%% faster "
+                        "whole-step on v5e with --gelu tanh; both are "
+                        "deterministic per seed with different bitstreams")
+    p.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
+                   help="text-encoder GELU flavor: 'exact' (erf — what "
+                        "HF SpanBERT computes; default) or 'tanh' "
+                        "(approximation, ~9%% faster stage-1 step on "
+                        "v5e; benchmarks/PROFILE_stage1_r03.md)")
+    p.add_argument("--fused_ln", action="store_true",
+                   help="route text-encoder LayerNorms through the "
+                        "fused Pallas forward+VJP kernel (one HBM pass "
+                        "for dx+dgamma+dbeta; parity-tested vs "
+                        "nn.LayerNorm, XLA fallback off-TPU)")
     p.add_argument("--bert_checkpoint", type=str, default=None,
                    help="local HF torch state_dict (pytorch_model.bin / "
                         ".pt) of the pretrained text encoder — the "
@@ -123,6 +138,14 @@ def main(argv=None):
         print(
             f"Loaded pretrained BERT: {bert_cfg.num_layers}L/"
             f"{bert_cfg.hidden_size}H vocab={bert_cfg.vocab_size}"
+        )
+    if args.gelu == "tanh" or args.fused_ln:
+        import dataclasses as _dc
+
+        bert_cfg = _dc.replace(
+            bert_cfg,
+            gelu_approximate=args.gelu == "tanh" or bert_cfg.gelu_approximate,
+            fused_ln=args.fused_ln or bert_cfg.fused_ln,
         )
 
     common = dict(
@@ -189,6 +212,7 @@ def main(argv=None):
     options = TrainerOptions(
         num_epochs=args.num_epochs,
         seed=args.seed,
+        rng_impl=args.rng_impl,
         checkpoint_dir=f"{args.checkpoint_dir}/Stage{args.stage}",
         logdir=args.logdir,
     )

@@ -30,8 +30,20 @@ class TrainerOptions:
     log_every_steps: int = 1
     sample_every_steps: int = 100  # stage-2 image grids (ref :181)
     seed: int = 42  # reference train.py:66
+    # PRNG implementation for every in-step random stream (dropout,
+    # mismatch permutation, CA/z noise). 'threefry2x32' (JAX default) is
+    # kept for golden stability; 'rbg' is ~8% faster whole-step on v5e
+    # once GELU is cheap (the threefry mask generation was the exposed
+    # VPU cost — benchmarks/PROFILE_stage1_r03.md). Both are
+    # deterministic per seed; the bitstreams differ.
+    rng_impl: str | None = None
     checkpoint_dir: str | None = None
     logdir: str | None = None
+
+    def make_key(self, seed: int) -> "jax.Array":
+        if self.rng_impl:
+            return jax.random.key(seed, impl=self.rng_impl)
+        return jax.random.key(seed)
 
 
 class Stage1Trainer:
@@ -63,7 +75,7 @@ class Stage1Trainer:
         )
 
     def init_state(self, batch_size: int):
-        state = self.system.init(jax.random.key(self.opt.seed), batch_size)
+        state = self.system.init(self.opt.make_key(self.opt.seed), batch_size)
         start_epoch = 0
         if self.ckpt is not None:
             restored, start_epoch = self.ckpt.restore_latest(state)
@@ -79,7 +91,7 @@ class Stage1Trainer:
         return state, start_epoch
 
     def fit(self, state, start_epoch: int = 0):
-        root_key = jax.random.key(self.opt.seed)
+        root_key = self.opt.make_key(self.opt.seed)
         gstep = int(state.step)
         for epoch in range(start_epoch, self.opt.num_epochs):
             for batch in self.loader:
@@ -119,7 +131,7 @@ class Stage2Trainer:
         )
 
     def init_state(self, batch_size: int, stage1_state=None):
-        state = self.system.init(jax.random.key(self.opt.seed), batch_size)
+        state = self.system.init(self.opt.make_key(self.opt.seed), batch_size)
         if stage1_state is not None:
             state = self.system.load_stage1(state, stage1_state)
         start_epoch = 0
@@ -133,9 +145,9 @@ class Stage2Trainer:
         return state, start_epoch
 
     def fit(self, state, start_epoch: int = 0):
-        root_key = jax.random.key(self.opt.seed)
+        root_key = self.opt.make_key(self.opt.seed)
         gstep = int(state.step)
-        sample_key = jax.random.key(456)  # fixed-noise samples (ref :186)
+        sample_key = self.opt.make_key(456)  # fixed-noise samples (ref :186)
         for epoch in range(start_epoch, self.opt.num_epochs):
             for batch in self.loader:
                 step_key = jax.random.fold_in(root_key, gstep)

@@ -278,3 +278,21 @@ def test_converted_params_match_init_structure():
     got_shapes = jax.tree.map(lambda x: x.shape, params)
     ref_shapes = jax.tree.map(lambda x: x.shape, ref)
     assert got_shapes == ref_shapes
+
+
+def test_gelu_tanh_flavor_runs_and_differs():
+    """gelu_approximate=True (the --gelu tanh / BENCH_GELU=tanh fast
+    path) must produce close-but-not-identical hidden states vs the
+    HF-faithful exact-erf default on the same params."""
+    import dataclasses
+
+    cfg = BertConfig.tiny()
+    enc_exact = BertEncoder(cfg)
+    enc_tanh = BertEncoder(dataclasses.replace(cfg, gelu_approximate=True))
+    ids = jnp.arange(12, dtype=jnp.int32)[None, :] % cfg.vocab_size
+    params = enc_exact.init(jax.random.key(0), ids)["params"]
+    out_exact = enc_exact.apply({"params": params}, ids)
+    out_tanh = enc_tanh.apply({"params": params}, ids)
+    assert out_exact.shape == out_tanh.shape
+    diff = float(jnp.max(jnp.abs(out_exact - out_tanh)))
+    assert 0.0 < diff < 0.05, diff

@@ -45,9 +45,11 @@ class BertConfig:
     gelu_approximate: bool = False
     # LayerNorm implementation. True routes every LayerNorm through the
     # fused Pallas forward+VJP kernel (ops/pallas/layernorm.py): one HBM
-    # pass computes dx+dgamma+dbeta instead of XLA's separate reduces —
-    # targets the ~27 ms/step of backward reduce_sum + unfused f32
-    # elementwise profiled in benchmarks/PROFILE_stage1_r03.md. Same
+    # pass computes dx+dgamma+dbeta instead of XLA's separate reduces.
+    # Whole-step A/B (benchmarks/PROFILE_stage1_r03.md): +1.4% at the
+    # faithful default config, −10.8% on the tanh+rbg fast path — the 25
+    # pallas fusion barriers break XLA's surrounding fusions for more
+    # than the one-pass VJP saves, so this stays OPT-IN. Same
     # f32-statistics numerics as nn.LayerNorm (parity-tested); falls
     # back to the plain formula off-TPU (interpret mode) and for hidden
     # sizes not divisible by 128. Set via --fused_ln / BENCH_LN=pallas.

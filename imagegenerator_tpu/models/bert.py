@@ -54,6 +54,16 @@ class BertConfig:
     # back to the plain formula off-TPU (interpret mode) and for hidden
     # sizes not divisible by 128. Set via --fused_ln / BENCH_LN=pallas.
     fused_ln: bool = False
+    # Attention implementation. True fuses QK^T -> mask -> softmax ->
+    # dropout -> PV into one Pallas kernel per direction
+    # (ops/pallas/attention.py): the (B, heads, T, T) logits/probs live
+    # only in VMEM and the backward recomputes them, removing the
+    # bandwidth-bound HBM round-trips XLA takes (bwd attention einsum
+    # alone ~2.27 ms/layer at batch 128 — PROFILE_stage1_r03.md).
+    # Dropout keep-masks are regenerated from the step seed by the TPU
+    # hardware PRNG (a different deterministic bitstream than
+    # nn.Dropout's threefry). Set via --fused_attn / BENCH_ATTN=pallas.
+    fused_attention: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 128) -> "BertConfig":
@@ -107,6 +117,23 @@ class _SelfAttention(nn.Module):
         h, nh = cfg.hidden_size, cfg.num_heads
         hd = h // nh
         dense = lambda name: nn.Dense(h, dtype=self.dtype, name=name)
+        if cfg.fused_attention:
+            from imagegenerator_tpu.ops.pallas import attention as _fattn
+
+            if _fattn.supported(x.shape[1], h, nh):
+                rate = 0.0 if deterministic else cfg.dropout_rate
+                if rate > 0.0:
+                    bits = jax.random.bits(self.make_rng("dropout"), (1,))
+                    seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                ctx = _fattn.fused_attention(
+                    dense("query")(x), dense("key")(x), dense("value")(x),
+                    mask, seed,
+                    num_heads=nh, dropout_rate=rate,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return nn.Dense(h, dtype=self.dtype, name="out")(ctx)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
         v = dense("value")(x).reshape(*x.shape[:2], nh, hd)

@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: fused multi-head self-attention (fwd + VJP).
+
+Why: in the stage-1 BERT step the attention region is wildly
+bandwidth-bound — the backward ``bhqk,bkhd`` einsum alone measures
+~2.27 ms/layer for ~6.4 GFLOP (40x its roofline compute time,
+benchmarks/PROFILE_stage1_r03.md) because XLA materializes the
+(B, heads, T, T) f32 logits/probs tensors in HBM for every fwd/bwd op.
+For BERT's T=128 the whole per-(batch, head) attention fits in VMEM, so
+this kernel computes QK^T -> mask -> softmax -> dropout -> PV per batch
+row with the (T, T) intermediates never leaving the chip, and the
+backward recomputes them instead of reloading: HBM traffic falls from
+O(B*heads*T^2) to O(B*T*hidden).
+
+Dropout: the keep-mask is regenerated identically in forward and
+backward from a scalar seed — on TPU via the hardware PRNG
+(``pltpu.prng_random_bits``), in interpret mode (CPU tests) via an
+in-kernel integer hash (xorshift finalizer) over (row, col, head, batch)
+— so no mask tensor is ever stored. The two bitstreams differ; each is
+deterministic per seed.
+
+Reference semantics matched: HF BERT self-attention with attention-prob
+dropout, as fine-tuned in-step by ``/root/reference/train.py:68`` /
+``stage_1_train_fn.py:117-119``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG_NEG = -1e30
+
+
+def supported(seq_len: int, hidden: int, num_heads: int) -> bool:
+    hd = hidden // num_heads
+    return (
+        hidden % num_heads == 0
+        and seq_len % 8 == 0
+        and hd % 8 == 0
+        and hd >= 8
+    )
+
+
+def _hash_bits(shape, salt):
+    """Counter-based uint32 bits from (row, col) + salt — the interpret-
+    mode stand-in for the TPU hardware PRNG (murmur3-style finalizer)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = r * jnp.uint32(0x9E3779B9) + c * jnp.uint32(0x85EBCA6B)
+    x = x + salt.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _keep_mask(shape, rate, hw_prng, salt):
+    """Keep-mask (f32 0/1) for attention-prob dropout. ``salt`` is a
+    traced int32 scalar unique per (batch, head); on the hw path the
+    PRNG was seeded per batch row and draws arrive in head order, which
+    the backward replays identically."""
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    if hw_prng:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    else:
+        bits = _hash_bits(shape, salt)
+    return (bits >= thresh).astype(jnp.float32)
+
+
+def _softmax_probs(q2, k2, mask_row, h, hd, scale):
+    sl = slice(h * hd, (h + 1) * hd)
+    q_h = q2[:, sl]
+    k_h = k2[:, sl]
+    s = jax.lax.dot_general(
+        q_h, k_h,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if mask_row is not None:
+        s = jnp.where(mask_row > 0, s, _BIG_NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _fwd_kernel(
+    seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
+    *, nh, hd, rate, scale, hw_prng,
+):
+    b = pl.program_id(0)
+    if rate > 0.0 and hw_prng:
+        pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003))
+    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
+    mask_row = mask_ref[0]  # (1, T), broadcasts over query rows
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for h in range(nh):
+        probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+        if rate > 0.0:
+            salt = seed_ref[0] + b * jnp.int32(1000003) + jnp.int32(h * 7919)
+            probs = probs * (_keep_mask(probs.shape, rate, hw_prng, salt) * inv)
+        ctx = jax.lax.dot_general(
+            probs.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * hd:(h + 1) * hd] = ctx.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, nh, hd, rate, scale, hw_prng,
+):
+    b = pl.program_id(0)
+    if rate > 0.0 and hw_prng:
+        # identical seed + head-ordered draws replay the forward masks
+        pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003))
+    q2, k2, v2, do2 = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    mask_row = mask_ref[0]  # (1, T), broadcasts over query rows
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+        if rate > 0.0:
+            salt = seed_ref[0] + b * jnp.int32(1000003) + jnp.int32(h * 7919)
+            keep = _keep_mask(probs.shape, rate, hw_prng, salt) * inv
+            pd = probs * keep
+        else:
+            keep = None
+            pd = probs
+        do_h = do2[:, sl]
+        v_h = v2[:, sl]
+        # dv = pd^T @ do  (contract over query positions)
+        dv = jax.lax.dot_general(
+            pd.astype(do_h.dtype), do_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = do @ v^T, through the dropout scaling
+        dp = jax.lax.dot_general(
+            do_h, v_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = dp * keep
+        # softmax VJP (probs of masked cols are 0 => ds is 0 there)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+        ds = (ds * scale).astype(q2.dtype)
+        dq = jax.lax.dot_general(
+            ds, k2[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q2[:, sl],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _specs(B, T, H):
+    row = pl.BlockSpec((1, T, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # mask rides as (B, 1, T): a (1, 1, T) block keeps the last two dims
+    # equal to the array's (the TPU tiling rule for sub-8 dims)
+    mask = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return row, seed, mask
+
+
+def fused_attention(
+    q, k, v, mask, seed,
+    *, num_heads: int, dropout_rate: float = 0.0, interpret: bool = False,
+):
+    """Multi-head attention over packed heads.
+
+    q/k/v: (B, T, H) with H = num_heads * head_dim (the raw Dense
+    outputs — no reshape/transpose needed); mask: (B, T) int (1 = keep)
+    or None; seed: (1,) int32 (ignored when dropout_rate == 0).
+    Returns (B, T, H) context in q.dtype. Differentiable w.r.t. q, k, v.
+    """
+    B, T, H = q.shape
+    nh = num_heads
+    hd = H // nh
+    scale = 1.0 / math.sqrt(hd)
+    hw_prng = not interpret
+    kw = dict(nh=nh, hd=hd, rate=float(dropout_rate), scale=scale,
+              hw_prng=hw_prng)
+    row, seed_spec, mask_spec = _specs(B, T, H)
+    if mask is None:
+        mask = jnp.ones((B, T), jnp.int32)
+    mask = mask.astype(jnp.int32).reshape(B, 1, T)
+    seed = seed.astype(jnp.int32)
+
+    @jax.custom_vjp
+    def _attn(q, k, v):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, **kw),
+            grid=(B,),
+            in_specs=[seed_spec, mask_spec, row, row, row],
+            out_specs=row,
+            out_shape=jax.ShapeDtypeStruct((B, T, H), q.dtype),
+            interpret=interpret,
+        )(seed, mask, q, k, v)
+
+    def _attn_fwd(q, k, v):
+        return _attn(q, k, v), (q, k, v)
+
+    def _attn_bwd(res, do):
+        q, k, v = res
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_kernel, **kw),
+            grid=(B,),
+            in_specs=[seed_spec, mask_spec, row, row, row, row],
+            out_specs=[row, row, row],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, H), q.dtype),
+                jax.ShapeDtypeStruct((B, T, H), k.dtype),
+                jax.ShapeDtypeStruct((B, T, H), v.dtype),
+            ],
+            interpret=interpret,
+        )(seed, mask, q, k, v, do.astype(q.dtype))
+        return dq, dk, dv
+
+    _attn.defvjp(_attn_fwd, _attn_bwd)
+    return _attn(q, k, v)

@@ -74,6 +74,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "HF SpanBERT computes; default) or 'tanh' "
                         "(approximation, ~9%% faster stage-1 step on "
                         "v5e; benchmarks/PROFILE_stage1_r03.md)")
+    p.add_argument("--fused_attn", action="store_true",
+                   help="fuse text-encoder attention (QK^T+softmax+"
+                        "dropout+PV) into one Pallas kernel per "
+                        "direction; logits/probs stay in VMEM and the "
+                        "backward recomputes them (dropout keep-masks "
+                        "come from the TPU hardware PRNG — a different "
+                        "deterministic bitstream than the default)")
     p.add_argument("--fused_ln", action="store_true",
                    help="route text-encoder LayerNorms through the "
                         "fused Pallas forward+VJP kernel (one HBM pass "
@@ -116,6 +123,11 @@ def main(argv=None):
     if args.tp > 1:
         if args.stage != 1:
             raise SystemExit("--tp applies to stage 1 (the in-step BERT)")
+        if args.fused_attn:
+            # the 2-D step Megatron-shards the attention einsums via
+            # GSPMD, which cannot partition a pallas_call body
+            raise SystemExit("--fused_attn is single-chip/DP only; "
+                             "drop it or use --tp 1")
         if len(devices) % args.tp:
             raise SystemExit(
                 f"--tp {args.tp} does not divide {len(devices)} devices"
@@ -139,13 +151,14 @@ def main(argv=None):
             f"Loaded pretrained BERT: {bert_cfg.num_layers}L/"
             f"{bert_cfg.hidden_size}H vocab={bert_cfg.vocab_size}"
         )
-    if args.gelu == "tanh" or args.fused_ln:
+    if args.gelu == "tanh" or args.fused_ln or args.fused_attn:
         import dataclasses as _dc
 
         bert_cfg = _dc.replace(
             bert_cfg,
             gelu_approximate=args.gelu == "tanh" or bert_cfg.gelu_approximate,
             fused_ln=args.fused_ln or bert_cfg.fused_ln,
+            fused_attention=args.fused_attn or bert_cfg.fused_attention,
         )
 
     common = dict(

@@ -92,90 +92,119 @@ def _softmax_probs(q2, k2, mask_row, h, hd, scale):
 
 def _fwd_kernel(
     seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
-    *, nh, hd, rate, scale, hw_prng,
+    *, nh, hd, rate, scale, hw_prng, rows,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     if rate > 0.0 and hw_prng:
-        pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003))
-    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
-    mask_row = mask_ref[0]  # (1, T), broadcasts over query rows
+        # one seed per program; draws arrive in (row, head) order, which
+        # the backward replays identically
+        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(1000003))
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-    for h in range(nh):
-        probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
-        if rate > 0.0:
-            salt = seed_ref[0] + b * jnp.int32(1000003) + jnp.int32(h * 7919)
-            probs = probs * (_keep_mask(probs.shape, rate, hw_prng, salt) * inv)
-        ctx = jax.lax.dot_general(
-            probs.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, h * hd:(h + 1) * hd] = ctx.astype(o_ref.dtype)
+    for g in range(rows):
+        q2, k2, v2 = q_ref[g], k_ref[g], v_ref[g]
+        mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
+        for h in range(nh):
+            probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+            if rate > 0.0:
+                salt = (seed_ref[0] + i * jnp.int32(1000003)
+                        + jnp.int32(g * 65537 + h * 7919))
+                probs = probs * (
+                    _keep_mask(probs.shape, rate, hw_prng, salt) * inv
+                )
+            ctx = jax.lax.dot_general(
+                probs.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[g, :, h * hd:(h + 1) * hd] = ctx.astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
-    *, nh, hd, rate, scale, hw_prng,
+    *, nh, hd, rate, scale, hw_prng, rows,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     if rate > 0.0 and hw_prng:
-        # identical seed + head-ordered draws replay the forward masks
-        pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003))
-    q2, k2, v2, do2 = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    mask_row = mask_ref[0]  # (1, T), broadcasts over query rows
+        # identical seed + (row, head)-ordered draws replay the fwd masks
+        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(1000003))
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-    for h in range(nh):
-        sl = slice(h * hd, (h + 1) * hd)
-        probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
-        if rate > 0.0:
-            salt = seed_ref[0] + b * jnp.int32(1000003) + jnp.int32(h * 7919)
-            keep = _keep_mask(probs.shape, rate, hw_prng, salt) * inv
-            pd = probs * keep
-        else:
-            keep = None
-            pd = probs
-        do_h = do2[:, sl]
-        v_h = v2[:, sl]
-        # dv = pd^T @ do  (contract over query positions)
-        dv = jax.lax.dot_general(
-            pd.astype(do_h.dtype), do_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dp = do @ v^T, through the dropout scaling
-        dp = jax.lax.dot_general(
-            do_h, v_h,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if keep is not None:
-            dp = dp * keep
-        # softmax VJP (probs of masked cols are 0 => ds is 0 there)
-        ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
-        ds = (ds * scale).astype(q2.dtype)
-        dq = jax.lax.dot_general(
-            ds, k2[:, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(
-            ds, q2[:, sl],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    for g in range(rows):
+        q2, k2, v2, do2 = q_ref[g], k_ref[g], v_ref[g], do_ref[g]
+        mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
+        for h in range(nh):
+            sl = slice(h * hd, (h + 1) * hd)
+            probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+            if rate > 0.0:
+                salt = (seed_ref[0] + i * jnp.int32(1000003)
+                        + jnp.int32(g * 65537 + h * 7919))
+                keep = _keep_mask(probs.shape, rate, hw_prng, salt) * inv
+                pd = probs * keep
+            else:
+                keep = None
+                pd = probs
+            do_h = do2[:, sl]
+            v_h = v2[:, sl]
+            # dv = pd^T @ do  (contract over query positions)
+            dv = jax.lax.dot_general(
+                pd.astype(do_h.dtype), do_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dp = do @ v^T, through the dropout scaling
+            dp = jax.lax.dot_general(
+                do_h, v_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if keep is not None:
+                dp = dp * keep
+            # softmax VJP (probs of masked cols are 0 => ds is 0 there)
+            ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+            ds = (ds * scale).astype(q2.dtype)
+            dq = jax.lax.dot_general(
+                ds, k2[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q2[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _specs(B, T, H):
-    row = pl.BlockSpec((1, T, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+def _specs(T, H, rows):
+    row = pl.BlockSpec(
+        (rows, T, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # mask rides as (B, 1, T): a (1, 1, T) block keeps the last two dims
-    # equal to the array's (the TPU tiling rule for sub-8 dims)
-    mask = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    # mask rides as (B, 1, T): a (rows, 1, T) block keeps the last two
+    # dims equal to the array's (the TPU tiling rule for sub-8 dims)
+    mask = pl.BlockSpec(
+        (rows, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
     return row, seed, mask
+
+
+def _rows_per_program(B: int) -> int:
+    """Batch rows per grid program. Swept on hardware at the stage-1
+    operating point (B=256 doubled batch): rows=1 679 img/s, rows=4 667
+    (−1.7%), rows=8 no better — Mosaic already double-buffers block DMA
+    across the sequential grid, and bigger blocks only coarsen that
+    pipelining. One row per program stays the default;
+    IMAGEGEN_ATTN_ROWS overrides for experiments."""
+    import os
+
+    env = os.environ.get("IMAGEGEN_ATTN_ROWS")
+    if env:
+        r = int(env)
+        if B % r == 0:
+            return r
+    return 1
 
 
 def fused_attention(
@@ -194,9 +223,10 @@ def fused_attention(
     hd = H // nh
     scale = 1.0 / math.sqrt(hd)
     hw_prng = not interpret
+    rows = _rows_per_program(B)
     kw = dict(nh=nh, hd=hd, rate=float(dropout_rate), scale=scale,
-              hw_prng=hw_prng)
-    row, seed_spec, mask_spec = _specs(B, T, H)
+              hw_prng=hw_prng, rows=rows)
+    row, seed_spec, mask_spec = _specs(T, H, rows)
     if mask is None:
         mask = jnp.ones((B, T), jnp.int32)
     mask = mask.astype(jnp.int32).reshape(B, 1, T)
@@ -206,7 +236,7 @@ def fused_attention(
     def _attn(q, k, v):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
-            grid=(B,),
+            grid=(B // rows,),
             in_specs=[seed_spec, mask_spec, row, row, row],
             out_specs=row,
             out_shape=jax.ShapeDtypeStruct((B, T, H), q.dtype),
@@ -220,7 +250,7 @@ def fused_attention(
         q, k, v = res
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
-            grid=(B,),
+            grid=(B // rows,),
             in_specs=[seed_spec, mask_spec, row, row, row, row],
             out_specs=[row, row, row],
             out_shape=[

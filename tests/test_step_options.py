@@ -114,3 +114,47 @@ def test_per_iter_equals_hoisted_without_dropout():
             jax.tree.leaves(deltas_out[0][mod]), jax.tree.leaves(deltas_out[1][mod])
         ):
             np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-7, err_msg=mod)
+
+
+def test_fused_attention_step_matches_xla_without_dropout():
+    """The fused Pallas attention kernel inside the FULL stage-1 train
+    step (forward + gradients through the custom VJP into encoder
+    updates): with text dropout off the kernel's math is deterministic
+    and identical to the einsum build, so every metric must agree."""
+    import dataclasses
+
+    base = Stage1Config.tiny(n_critic=1, text_dropout=False)
+    cfg_fused = dataclasses.replace(
+        base, bert=dataclasses.replace(base.bert, fused_attention=True)
+    )
+
+    outs = []
+    for cfg in (base, cfg_fused):
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        outs.append({k: float(v) for k, v in metrics.items()})
+    for k in outs[0]:
+        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=2e-4, err_msg=k)
+
+
+def test_fused_attention_step_with_dropout_runs():
+    """With text dropout ON the kernel draws its own keep-masks (a
+    different bitstream than nn.Dropout): the step must run, stay
+    finite, and actually differ from the XLA build."""
+    import dataclasses
+
+    base = Stage1Config.tiny(n_critic=1, text_dropout=True)
+    cfg_fused = dataclasses.replace(
+        base, bert=dataclasses.replace(base.bert, fused_attention=True)
+    )
+    outs = []
+    for cfg in (base, cfg_fused):
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        assert np.isfinite(float(metrics["loss_gen"]))
+        outs.append(float(metrics["loss_gen"]))
+    assert outs[0] != outs[1]

@@ -74,24 +74,27 @@ def _keep_mask(shape, rate, hw_prng, salt):
     return (bits >= thresh).astype(jnp.float32)
 
 
-def _softmax_probs(q2, k2, mask_row, h, hd, scale):
+def _scores(q2, k2, mask_row, h, hd, scale):
     sl = slice(h * hd, (h + 1) * hd)
-    q_h = q2[:, sl]
-    k_h = k2[:, sl]
     s = jax.lax.dot_general(
-        q_h, k_h,
+        q2[:, sl], k2[:, sl],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
     if mask_row is not None:
         s = jnp.where(mask_row > 0, s, _BIG_NEG)
+    return s
+
+
+def _softmax_probs(q2, k2, mask_row, h, hd, scale):
+    s = _scores(q2, k2, mask_row, h, hd, scale)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
 def _fwd_kernel(
-    seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
+    seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, nh, hd, rate, scale, hw_prng, rows,
 ):
     i = pl.program_id(0)
@@ -104,23 +107,28 @@ def _fwd_kernel(
         q2, k2, v2 = q_ref[g], k_ref[g], v_ref[g]
         mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
         for h in range(nh):
-            probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+            s = _scores(q2, k2, mask_row, h, hd, scale)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)  # unnormalized
+            l = jnp.sum(p, axis=1, keepdims=True)
+            # normalization folds into the (T, hd) context instead of
+            # dividing the (T, T) probs; lse is saved so the backward
+            # recomputes normalized probs with NO max/sum reductions
+            lse_ref[g, h, :] = (m + jnp.log(l))[:, 0]
             if rate > 0.0:
                 salt = (seed_ref[0] + i * jnp.int32(1000003)
                         + jnp.int32(g * 65537 + h * 7919))
-                probs = probs * (
-                    _keep_mask(probs.shape, rate, hw_prng, salt) * inv
-                )
+                p = p * (_keep_mask(p.shape, rate, hw_prng, salt) * inv)
             ctx = jax.lax.dot_general(
-                probs.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
+                p.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            o_ref[g, :, h * hd:(h + 1) * hd] = ctx.astype(o_ref.dtype)
+            o_ref[g, :, h * hd:(h + 1) * hd] = (ctx / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
+    seed_ref, mask_ref, lse_ref, q_ref, k_ref, v_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     *, nh, hd, rate, scale, hw_prng, rows,
 ):
@@ -134,7 +142,11 @@ def _bwd_kernel(
         mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
         for h in range(nh):
             sl = slice(h * hd, (h + 1) * hd)
-            probs = _softmax_probs(q2, k2, mask_row, h, hd, scale)
+            # normalized probs from the saved lse — no reductions here
+            probs = jnp.exp(
+                _scores(q2, k2, mask_row, h, hd, scale)
+                - lse_ref[g, h, :][:, None]
+            )
             if rate > 0.0:
                 salt = (seed_ref[0] + i * jnp.int32(1000003)
                         + jnp.int32(g * 65537 + h * 7919))
@@ -232,26 +244,38 @@ def fused_attention(
     mask = mask.astype(jnp.int32).reshape(B, 1, T)
     seed = seed.astype(jnp.int32)
 
-    @jax.custom_vjp
-    def _attn(q, k, v):
+    lse_spec = pl.BlockSpec(
+        (rows, nh, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def _call_fwd(q, k, v):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
             grid=(B // rows,),
             in_specs=[seed_spec, mask_spec, row, row, row],
-            out_specs=row,
-            out_shape=jax.ShapeDtypeStruct((B, T, H), q.dtype),
+            out_specs=[row, lse_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, H), q.dtype),
+                jax.ShapeDtypeStruct((B, nh, T), jnp.float32),
+            ],
             interpret=interpret,
         )(seed, mask, q, k, v)
 
+    @jax.custom_vjp
+    def _attn(q, k, v):
+        out, _ = _call_fwd(q, k, v)
+        return out
+
     def _attn_fwd(q, k, v):
-        return _attn(q, k, v), (q, k, v)
+        out, lse = _call_fwd(q, k, v)
+        return out, (q, k, v, lse)
 
     def _attn_bwd(res, do):
-        q, k, v = res
+        q, k, v, lse = res
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
             grid=(B // rows,),
-            in_specs=[seed_spec, mask_spec, row, row, row, row],
+            in_specs=[seed_spec, mask_spec, lse_spec, row, row, row, row],
             out_specs=[row, row, row],
             out_shape=[
                 jax.ShapeDtypeStruct((B, T, H), q.dtype),
@@ -259,7 +283,7 @@ def fused_attention(
                 jax.ShapeDtypeStruct((B, T, H), v.dtype),
             ],
             interpret=interpret,
-        )(seed, mask, q, k, v, do.astype(q.dtype))
+        )(seed, mask, lse, q, k, v, do.astype(q.dtype))
         return dq, dk, dv
 
     _attn.defvjp(_attn_fwd, _attn_bwd)

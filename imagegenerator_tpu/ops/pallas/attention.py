@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG_NEG = -1e30
+# Masked-logit fill. NOT -inf: the backward recomputes probs as
+# exp(s - m) / l from the SAVED row max and sum, and a fully-masked row
+# has m == _BIG_NEG — the fill must stay finite so exp(s - m) = exp(0)
+# there (matching the forward's uniform distribution exactly) instead
+# of producing inf - inf. 3e7 dominates any real logit (|q.k|*scale is
+# bounded by ~1e4 for LayerNormed bf16 activations), so masked columns
+# of partially-masked rows still underflow to exactly 0.
+_BIG_NEG = -3e7
 
 
 def supported(seq_len: int, hidden: int, num_heads: int) -> bool:
@@ -61,15 +68,20 @@ def _hash_bits(shape, salt):
     return x
 
 
-def _keep_mask(shape, rate, hw_prng, salt):
-    """Keep-mask (f32 0/1) for attention-prob dropout. ``salt`` is a
-    traced int32 scalar unique per (batch, head); on the hw path the
-    PRNG was seeded per batch row and draws arrive in head order, which
-    the backward replays identically."""
+def _keep_mask(shape, rate, hw_prng, seed_ref, i, g, h):
+    """Keep-mask (f32 0/1) for attention-prob dropout.
+
+    hw path: bits come from the per-program-seeded hardware PRNG, so
+    masks are addressed purely by DRAW ORDER — the fwd and bwd kernels
+    MUST iterate (g, h) identically or dropout silently desynchronizes
+    between forward and gradient. Interpret path: counter-based hash
+    salted per (program, row, head), order-independent."""
     thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     if hw_prng:
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     else:
+        salt = (seed_ref[0] + i * jnp.int32(1000003)
+                + jnp.int32(g * 65537 + h * 7919))
         bits = _hash_bits(shape, salt)
     return (bits >= thresh).astype(jnp.float32)
 
@@ -86,39 +98,39 @@ def _scores(q2, k2, mask_row, h, hd, scale):
     return s
 
 
-def _softmax_probs(q2, k2, mask_row, h, hd, scale):
-    s = _scores(q2, k2, mask_row, h, hd, scale)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=1, keepdims=True)
-
-
 def _fwd_kernel(
-    seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-    *, nh, hd, rate, scale, hw_prng, rows,
+    seed_ref, *refs, nh, hd, rate, scale, hw_prng, rows, has_mask,
 ):
+    if has_mask:
+        mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref = refs
+        mask_ref = None
     i = pl.program_id(0)
     if rate > 0.0 and hw_prng:
         # one seed per program; draws arrive in (row, head) order, which
-        # the backward replays identically
+        # the backward replays identically (see _keep_mask)
         pltpu.prng_seed(seed_ref[0] + i * jnp.int32(1000003))
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for g in range(rows):
         q2, k2, v2 = q_ref[g], k_ref[g], v_ref[g]
-        mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
+        # (1, T), broadcasts over query rows
+        mask_row = mask_ref[g] if has_mask else None
         for h in range(nh):
             s = _scores(q2, k2, mask_row, h, hd, scale)
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)  # unnormalized
             l = jnp.sum(p, axis=1, keepdims=True)
             # normalization folds into the (T, hd) context instead of
-            # dividing the (T, T) probs; lse is saved so the backward
-            # recomputes normalized probs with NO max/sum reductions
-            lse_ref[g, h, :] = (m + jnp.log(l))[:, 0]
+            # dividing the (T, T) probs; (m, l) are saved SEPARATELY —
+            # not as lse = m + log l, which loses log(T) to f32
+            # rounding when m is the masked fill — so the backward
+            # recomputes probs with NO max/sum reductions, bit-matching
+            # the forward even for fully-masked rows
+            m_ref[g, h, :] = m[:, 0]
+            l_ref[g, h, :] = l[:, 0]
             if rate > 0.0:
-                salt = (seed_ref[0] + i * jnp.int32(1000003)
-                        + jnp.int32(g * 65537 + h * 7919))
-                p = p * (_keep_mask(p.shape, rate, hw_prng, salt) * inv)
+                p = p * (_keep_mask(p.shape, rate, hw_prng, seed_ref, i, g, h) * inv)
             ctx = jax.lax.dot_general(
                 p.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -128,10 +140,15 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    seed_ref, mask_ref, lse_ref, q_ref, k_ref, v_ref, do_ref,
-    dq_ref, dk_ref, dv_ref,
-    *, nh, hd, rate, scale, hw_prng, rows,
+    seed_ref, *refs, nh, hd, rate, scale, hw_prng, rows, has_mask,
 ):
+    if has_mask:
+        mask_ref, m_ref, l_ref, q_ref, k_ref, v_ref, do_ref = refs[:7]
+        dq_ref, dk_ref, dv_ref = refs[7:]
+    else:
+        m_ref, l_ref, q_ref, k_ref, v_ref, do_ref = refs[:6]
+        dq_ref, dk_ref, dv_ref = refs[6:]
+        mask_ref = None
     i = pl.program_id(0)
     if rate > 0.0 and hw_prng:
         # identical seed + (row, head)-ordered draws replay the fwd masks
@@ -139,18 +156,19 @@ def _bwd_kernel(
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for g in range(rows):
         q2, k2, v2, do2 = q_ref[g], k_ref[g], v_ref[g], do_ref[g]
-        mask_row = mask_ref[g]  # (1, T), broadcasts over query rows
+        # (1, T), broadcasts over query rows
+        mask_row = mask_ref[g] if has_mask else None
         for h in range(nh):
             sl = slice(h * hd, (h + 1) * hd)
-            # normalized probs from the saved lse — no reductions here
+            # normalized probs from the saved (m, l) — no reductions here
             probs = jnp.exp(
                 _scores(q2, k2, mask_row, h, hd, scale)
-                - lse_ref[g, h, :][:, None]
-            )
+                - m_ref[g, h, :][:, None]
+            ) * (1.0 / l_ref[g, h, :])[:, None]
             if rate > 0.0:
-                salt = (seed_ref[0] + i * jnp.int32(1000003)
-                        + jnp.int32(g * 65537 + h * 7919))
-                keep = _keep_mask(probs.shape, rate, hw_prng, salt) * inv
+                keep = _keep_mask(
+                    probs.shape, rate, hw_prng, seed_ref, i, g, h
+                ) * inv
                 pd = probs * keep
             else:
                 keep = None
@@ -171,8 +189,14 @@ def _bwd_kernel(
             )
             if keep is not None:
                 dp = dp * keep
-            # softmax VJP (probs of masked cols are 0 => ds is 0 there)
+            # softmax VJP
             ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+            if has_mask:
+                # the mask-where VJP: probs of masked cols are ~0 for
+                # partially-masked rows, but a FULLY-masked row has
+                # uniform probs — AD would still route zero gradient to
+                # its logits, so zero ds explicitly
+                ds = jnp.where(mask_row > 0, ds, 0.0)
             ds = (ds * scale).astype(q2.dtype)
             dq = jax.lax.dot_general(
                 ds, k2[:, sl],
@@ -214,8 +238,12 @@ def _rows_per_program(B: int) -> int:
     env = os.environ.get("IMAGEGEN_ATTN_ROWS")
     if env:
         r = int(env)
-        if B % r == 0:
-            return r
+        if r < 1 or B % r:
+            raise ValueError(
+                f"IMAGEGEN_ATTN_ROWS={env} must be a positive divisor of "
+                f"the doubled batch (B={B})"
+            )
+        return r
     return 1
 
 
@@ -231,51 +259,65 @@ def fused_attention(
     Returns (B, T, H) context in q.dtype. Differentiable w.r.t. q, k, v.
     """
     B, T, H = q.shape
+    if not supported(T, H, num_heads):
+        raise ValueError(
+            f"fused_attention: unsupported shape T={T}, H={H}, "
+            f"heads={num_heads} (need H % heads == 0, T % 8 == 0, "
+            f"head_dim % 8 == 0) — use the XLA einsum path instead"
+        )
     nh = num_heads
     hd = H // nh
     scale = 1.0 / math.sqrt(hd)
     hw_prng = not interpret
     rows = _rows_per_program(B)
+    has_mask = mask is not None
     kw = dict(nh=nh, hd=hd, rate=float(dropout_rate), scale=scale,
-              hw_prng=hw_prng, rows=rows)
+              hw_prng=hw_prng, rows=rows, has_mask=has_mask)
     row, seed_spec, mask_spec = _specs(T, H, rows)
-    if mask is None:
-        mask = jnp.ones((B, T), jnp.int32)
-    mask = mask.astype(jnp.int32).reshape(B, 1, T)
+    if has_mask:
+        mask_args = (mask.astype(jnp.int32).reshape(B, 1, T),)
+        mask_specs = (mask_spec,)
+    else:
+        mask_args, mask_specs = (), ()
     seed = seed.astype(jnp.int32)
 
-    lse_spec = pl.BlockSpec(
+    stat_spec = pl.BlockSpec(
         (rows, nh, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    stat_shape = jax.ShapeDtypeStruct((B, nh, T), jnp.float32)
 
     def _call_fwd(q, k, v):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
             grid=(B // rows,),
-            in_specs=[seed_spec, mask_spec, row, row, row],
-            out_specs=[row, lse_spec],
+            in_specs=[seed_spec, *mask_specs, row, row, row],
+            out_specs=[row, stat_spec, stat_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((B, T, H), q.dtype),
-                jax.ShapeDtypeStruct((B, nh, T), jnp.float32),
+                stat_shape,
+                stat_shape,
             ],
             interpret=interpret,
-        )(seed, mask, q, k, v)
+        )(seed, *mask_args, q, k, v)
 
     @jax.custom_vjp
     def _attn(q, k, v):
-        out, _ = _call_fwd(q, k, v)
+        out, _, _ = _call_fwd(q, k, v)
         return out
 
     def _attn_fwd(q, k, v):
-        out, lse = _call_fwd(q, k, v)
-        return out, (q, k, v, lse)
+        out, m, l = _call_fwd(q, k, v)
+        return out, (q, k, v, m, l)
 
     def _attn_bwd(res, do):
-        q, k, v, lse = res
+        q, k, v, m, l = res
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
             grid=(B // rows,),
-            in_specs=[seed_spec, mask_spec, lse_spec, row, row, row, row],
+            in_specs=[
+                seed_spec, *mask_specs, stat_spec, stat_spec,
+                row, row, row, row,
+            ],
             out_specs=[row, row, row],
             out_shape=[
                 jax.ShapeDtypeStruct((B, T, H), q.dtype),
@@ -283,7 +325,7 @@ def fused_attention(
                 jax.ShapeDtypeStruct((B, T, H), v.dtype),
             ],
             interpret=interpret,
-        )(seed, mask, lse, q, k, v, do.astype(q.dtype))
+        )(seed, *mask_args, m, l, q, k, v, do.astype(q.dtype))
         return dq, dk, dv
 
     _attn.defvjp(_attn_fwd, _attn_bwd)

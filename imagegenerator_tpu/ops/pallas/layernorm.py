@@ -124,11 +124,13 @@ def _fwd(x, scale, bias, eps, interpret):
     d = shape[-1]
     x2 = x.reshape(-1, d)
     y, mean, rstd = _call_fwd(x2, scale, bias, eps, interpret)
-    return y.reshape(shape), (x2, mean, rstd, scale)
+    # bias rides in the residuals only so the bwd can cast dbeta to ITS
+    # dtype (scale and bias may differ)
+    return y.reshape(shape), (x2, mean, rstd, scale, bias)
 
 
 def _bwd(eps, interpret, res, dy):
-    x2, mean, rstd, scale = res
+    x2, mean, rstd, scale, bias = res
     d = x2.shape[-1]
     dy2 = dy.reshape(-1, d)
     n = x2.shape[0]
@@ -166,7 +168,7 @@ def _bwd(eps, interpret, res, dy):
     return (
         dx,
         dgamma[0].astype(scale.dtype),
-        dbeta[0].astype(scale.dtype),
+        dbeta[0].astype(bias.dtype),
     )
 
 

@@ -62,8 +62,10 @@ def test_forward_matches_oracle(dtype, with_mask):
     )
 
 
-def test_gradients_match_oracle():
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_gradients_match_oracle(with_mask):
     q, k, v, mask = _inputs(jnp.float32)
+    mask = mask if with_mask else None
     ct = jax.random.normal(jax.random.key(9), (B, T, H))
 
     def loss_fused(q, k, v):
@@ -82,6 +84,41 @@ def test_gradients_match_oracle():
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
             err_msg=name,
         )
+
+
+def test_fully_masked_example_gradients():
+    """An all-padding example (mask all zeros) must not blow up the
+    backward: the saved lse for such rows is m + log(T) with m = the
+    masked fill, and the fill must be small enough that log(T) survives
+    the f32 addition — with -1e30 the bwd probs come back T x too large
+    (round-3 code-review finding)."""
+    q, k, v, _ = _inputs(jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32).at[1, :].set(0)
+    ct = jax.random.normal(jax.random.key(11), (B, T, H))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            fused_attention(q, k, v, mask, SEED0, num_heads=NH, interpret=True)
+            * ct
+        )
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(_oracle(q, k, v, mask, NH) * ct)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(gf, go, ("dq", "dk", "dv")):
+        assert np.isfinite(np.asarray(got)).all(), name
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_unsupported_shapes_raise():
+    q = jnp.zeros((2, 12, 64))  # T=12 not a multiple of 8
+    with pytest.raises(ValueError, match="unsupported shape"):
+        fused_attention(q, q, q, None, SEED0, num_heads=2, interpret=True)
 
 
 def test_dropout_deterministic_and_rate():

@@ -105,3 +105,20 @@ def test_bert_fused_ln_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_mixed_param_dtypes_cotangent_contract():
+    """scale f32 + bias bf16: custom_vjp must return each cotangent in
+    its OWN param's dtype (round-3 code-review finding: dbeta was cast
+    to scale.dtype)."""
+    d = 128
+    x = jax.random.normal(jax.random.key(5), (16, d), jnp.float32)
+    scale = jnp.ones((d,), jnp.float32)
+    bias = jnp.zeros((d,), jnp.bfloat16)
+
+    def f(s, b):
+        return jnp.sum(fused_layernorm(x, s, b, EPS, True))
+
+    ds, db = jax.grad(f, argnums=(0, 1))(scale, bias)
+    assert ds.dtype == jnp.float32
+    assert db.dtype == jnp.bfloat16

@@ -247,6 +247,140 @@ def _rows_per_program(B: int) -> int:
     return 1
 
 
+def _pallas_fwd(seed, *rest, nhH, rate, hw_prng, interpret, has_mask):
+    """Shape-adaptive forward pallas_call: all tile geometry derives
+    from the ARGUMENT shapes, so the same function serves the global
+    trace and the per-shard lowering under custom_partitioning (where
+    q arrives with the local batch and the local head group)."""
+    if has_mask:
+        mask, q, k, v = rest
+        mask_args = (mask,)
+    else:
+        q, k, v = rest
+        mask_args = ()
+    nh_g, H_g = nhH
+    B, T, H = q.shape
+    nh = nh_g * H // H_g  # local heads under head-group (Megatron) sharding
+    hd = H // nh
+    rows = _rows_per_program(B)
+    kw = dict(nh=nh, hd=hd, rate=rate, scale=1.0 / math.sqrt(hd),
+              hw_prng=hw_prng, rows=rows, has_mask=has_mask)
+    row, seed_spec, mask_spec = _specs(T, H, rows)
+    stat_spec = pl.BlockSpec(
+        (rows, nh, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_shape = jax.ShapeDtypeStruct((B, nh, T), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, **kw),
+        grid=(B // rows,),
+        in_specs=[seed_spec, *((mask_spec,) if has_mask else ()), row, row, row],
+        out_specs=[row, stat_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), q.dtype), stat_shape, stat_shape,
+        ],
+        interpret=interpret,
+    )(seed, *mask_args, q, k, v)
+
+
+def _pallas_bwd(seed, *rest, nhH, rate, hw_prng, interpret, has_mask):
+    """Shape-adaptive backward pallas_call (see _pallas_fwd)."""
+    if has_mask:
+        mask, m, l, q, k, v, do = rest
+        mask_args = (mask,)
+    else:
+        m, l, q, k, v, do = rest
+        mask_args = ()
+    nh_g, H_g = nhH
+    B, T, H = q.shape
+    nh = nh_g * H // H_g
+    hd = H // nh
+    rows = _rows_per_program(B)
+    kw = dict(nh=nh, hd=hd, rate=rate, scale=1.0 / math.sqrt(hd),
+              hw_prng=hw_prng, rows=rows, has_mask=has_mask)
+    row, seed_spec, mask_spec = _specs(T, H, rows)
+    stat_spec = pl.BlockSpec(
+        (rows, nh, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, **kw),
+        grid=(B // rows,),
+        in_specs=[
+            seed_spec, *((mask_spec,) if has_mask else ()),
+            stat_spec, stat_spec, row, row, row, row,
+        ],
+        out_specs=[row, row, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), q.dtype),
+            jax.ShapeDtypeStruct((B, T, H), k.dtype),
+            jax.ShapeDtypeStruct((B, T, H), v.dtype),
+        ],
+        interpret=interpret,
+    )(seed, *mask_args, m, l, q, k, v, do)
+
+
+def _make_partitioned(impl, rule: str, **sizes):
+    """Wrap a shape-adaptive pallas caller in custom_partitioning so
+    GSPMD/Shardy shards it instead of all-gathering the opaque custom
+    call: batch rides any data axis, the packed-heads dim shards by head
+    groups (the ``h`` factor of ``(h d)`` — exactly the Megatron column
+    split of the qkv Dense kernels in parallel/tp.py), and T/head_dim
+    are replication factors (each program needs whole rows). The
+    per-shard lowering is ``impl`` itself — it rebuilds tile geometry
+    from the shard shapes. Dropout note: every shard seeds the hw PRNG
+    identically, so DP replicas and head-group shards draw the same
+    keep-pattern — the DP half is exactly the reference's synchronized
+    per-replica RNG (train.py:66, stage_1_train_fn.py:98-106)."""
+    from jax._src.custom_partitioning_sharding_rule import (
+        str_to_sdy_sharding_rule,
+    )
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        res = result_shape if isinstance(result_shape, (list, tuple)) else [result_shape]
+        return (
+            mesh,
+            impl,
+            tuple(s.sharding for s in res),
+            tuple(s.sharding for s in arg_shapes),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        # the GSPMD (non-Shardy) propagation path. The LAST operand is
+        # always (B, T, H)-shaped with the activation sharding (v in the
+        # fwd, the out-cotangent in the bwd); outputs either share that
+        # shape exactly or are the (B, heads, T) stats, which inherit
+        # the batch axis and put the head-group axis on dim 1.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        proto = arg_shapes[-1]
+        spec = proto.sharding.spec
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[2] if len(spec) > 2 else None
+        res = (
+            result_shape
+            if isinstance(result_shape, (list, tuple))
+            else [result_shape]
+        )
+        outs = [
+            proto.sharding
+            if r.shape == proto.shape
+            else NamedSharding(mesh, P(b_ax, h_ax, None))
+            for r in res
+        ]
+        return tuple(outs) if len(outs) > 1 else outs[0]
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=str_to_sdy_sharding_rule(
+            rule, need_replication_factors=("t", "d"), **sizes
+        ),
+    )
+    return cp
+
+
 def fused_attention(
     q, k, v, mask, seed,
     *, num_heads: int, dropout_rate: float = 0.0, interpret: bool = False,
@@ -257,6 +391,11 @@ def fused_attention(
     outputs — no reshape/transpose needed); mask: (B, T) int (1 = keep)
     or None; seed: (1,) int32 (ignored when dropout_rate == 0).
     Returns (B, T, H) context in q.dtype. Differentiable w.r.t. q, k, v.
+
+    Composes with sharding two ways: under ``shard_map`` (the DP train
+    step) it simply runs per shard, and under GSPMD jit (the 2-D dp x tp
+    step) the custom_partitioning rules shard it by batch and by head
+    group with zero collectives.
     """
     B, T, H = q.shape
     if not supported(T, H, num_heads):
@@ -265,67 +404,50 @@ def fused_attention(
             f"heads={num_heads} (need H % heads == 0, T % 8 == 0, "
             f"head_dim % 8 == 0) — use the XLA einsum path instead"
         )
-    nh = num_heads
-    hd = H // nh
-    scale = 1.0 / math.sqrt(hd)
-    hw_prng = not interpret
-    rows = _rows_per_program(B)
     has_mask = mask is not None
-    kw = dict(nh=nh, hd=hd, rate=float(dropout_rate), scale=scale,
-              hw_prng=hw_prng, rows=rows, has_mask=has_mask)
-    row, seed_spec, mask_spec = _specs(T, H, rows)
+    common = dict(
+        nhH=(num_heads, H), rate=float(dropout_rate),
+        hw_prng=not interpret, interpret=interpret, has_mask=has_mask,
+    )
+    # d appears only inside the (h d) compound, so its size must be
+    # given; h is a whole dimension of the stats outputs (size inferred)
+    sizes = dict(d=H // num_heads)
+    qkv = "b t (h d), b t (h d), b t (h d)"
+    stats = "b h t, b h t"
     if has_mask:
         mask_args = (mask.astype(jnp.int32).reshape(B, 1, T),)
-        mask_specs = (mask_spec,)
+        fwd_rule = f"s, b u t, {qkv} -> b t (h d), {stats}"
+        bwd_rule = f"s, b u t, {stats}, {qkv}, b t (h d) -> {qkv}"
     else:
-        mask_args, mask_specs = (), ()
+        mask_args = ()
+        fwd_rule = f"s, {qkv} -> b t (h d), {stats}"
+        bwd_rule = f"s, {stats}, {qkv}, b t (h d) -> {qkv}"
     seed = seed.astype(jnp.int32)
+    # plain *args closures: custom_partitioning resolves every argument
+    # positionally and rejects functools.partial-bound keywords
+    def _fwd_impl(*args):
+        return _pallas_fwd(*args, **common)
 
-    stat_spec = pl.BlockSpec(
-        (rows, nh, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    stat_shape = jax.ShapeDtypeStruct((B, nh, T), jnp.float32)
+    def _bwd_impl(*args):
+        return _pallas_bwd(*args, **common)
 
-    def _call_fwd(q, k, v):
-        return pl.pallas_call(
-            functools.partial(_fwd_kernel, **kw),
-            grid=(B // rows,),
-            in_specs=[seed_spec, *mask_specs, row, row, row],
-            out_specs=[row, stat_spec, stat_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, T, H), q.dtype),
-                stat_shape,
-                stat_shape,
-            ],
-            interpret=interpret,
-        )(seed, *mask_args, q, k, v)
+    fwd_cp = _make_partitioned(_fwd_impl, fwd_rule, **sizes)
+    bwd_cp = _make_partitioned(_bwd_impl, bwd_rule, **sizes)
 
     @jax.custom_vjp
     def _attn(q, k, v):
-        out, _, _ = _call_fwd(q, k, v)
+        out, _, _ = fwd_cp(seed, *mask_args, q, k, v)
         return out
 
     def _attn_fwd(q, k, v):
-        out, m, l = _call_fwd(q, k, v)
+        out, m, l = fwd_cp(seed, *mask_args, q, k, v)
         return out, (q, k, v, m, l)
 
     def _attn_bwd(res, do):
         q, k, v, m, l = res
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_kernel, **kw),
-            grid=(B // rows,),
-            in_specs=[
-                seed_spec, *mask_specs, stat_spec, stat_spec,
-                row, row, row, row,
-            ],
-            out_specs=[row, row, row],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, T, H), q.dtype),
-                jax.ShapeDtypeStruct((B, T, H), k.dtype),
-                jax.ShapeDtypeStruct((B, T, H), v.dtype),
-            ],
-            interpret=interpret,
-        )(seed, *mask_args, m, l, q, k, v, do.astype(q.dtype))
+        dq, dk, dv = bwd_cp(
+            seed, *mask_args, m, l, q, k, v, do.astype(q.dtype)
+        )
         return dq, dk, dv
 
     _attn.defvjp(_attn_fwd, _attn_bwd)

@@ -80,7 +80,9 @@ def get_parser() -> argparse.ArgumentParser:
                         "direction; logits/probs stay in VMEM and the "
                         "backward recomputes them (dropout keep-masks "
                         "come from the TPU hardware PRNG — a different "
-                        "deterministic bitstream than the default)")
+                        "deterministic bitstream than the default). "
+                        "Composes with --tp (head-group sharding via "
+                        "custom_partitioning)")
     p.add_argument("--fused_ln", action="store_true",
                    help="route text-encoder LayerNorms through the "
                         "fused Pallas forward+VJP kernel (one HBM pass "
@@ -123,11 +125,10 @@ def main(argv=None):
     if args.tp > 1:
         if args.stage != 1:
             raise SystemExit("--tp applies to stage 1 (the in-step BERT)")
-        if args.fused_attn:
-            # the 2-D step Megatron-shards the attention einsums via
-            # GSPMD, which cannot partition a pallas_call body
-            raise SystemExit("--fused_attn is single-chip/DP only; "
-                             "drop it or use --tp 1")
+        # --fused_attn composes with --tp: the kernel carries
+        # custom_partitioning rules (batch -> data, head groups ->
+        # model), so GSPMD shards it instead of all-gathering
+        # (tests/test_tp.py::test_stage1_2d_mesh_fused_attention)
         if len(devices) % args.tp:
             raise SystemExit(
                 f"--tp {args.tp} does not divide {len(devices)} devices"

@@ -153,3 +153,72 @@ def test_stage1_2d_mesh_bert_tp():
     )
     assert all(np.isfinite(float(v)) for v in jax.tree.leaves(m2))
     assert int(out2.step) == int(state.step) + 1
+
+
+def test_stage1_2d_mesh_fused_attention():
+    """The fused Pallas attention kernel under the GSPMD 2-D step: the
+    custom_partitioning rules shard it by batch ('data') and by head
+    group ('model' — the Megatron column split of the qkv kernels), so
+    the kernel body runs per-shard with the LOCAL head count instead of
+    being all-gathered. At data=1/tp=2 with text dropout off it must
+    reproduce the meshless fused step exactly-ish (TP collectives are
+    the identity); a (2, 2) run with dropout on checks dp x tp
+    mechanics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from imagegenerator_tpu.train.stage1 import (
+        Stage1Config,
+        Stage1System,
+        make_train_step,
+        make_train_step_2d,
+        shard_state_2d,
+    )
+
+    base = Stage1Config.tiny(n_critic=1, text_dropout=False)
+    cfg = dataclasses.replace(
+        base, bert=dataclasses.replace(base.bert, fused_attention=True)
+    )
+    system = Stage1System(cfg)
+    state = system.init(jax.random.key(0), 4)
+    kt, ki = jax.random.split(jax.random.key(1))
+    batch = {
+        "input_ids": jax.random.randint(kt, (4, cfg.seq_len), 0, cfg.bert.vocab_size),
+        "attention_mask": jnp.ones((4, cfg.seq_len), jnp.int32),
+        "image": jax.random.uniform(
+            ki, (4, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+        ),
+    }
+    _, ref_metrics = make_train_step(system, donate=False)(
+        state, batch, jax.random.key(3)
+    )
+
+    mesh = make_tp_mesh(data=1, model=2)
+    st_tp = shard_state_2d(state, mesh)
+    step_tp = make_train_step_2d(system, mesh, donate=False)
+    _, metrics = step_tp(
+        st_tp, jax.device_put(batch, NamedSharding(mesh, P("data"))),
+        jax.random.key(3),
+    )
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(metrics[k]), np.asarray(ref_metrics[k]),
+            rtol=5e-4, atol=5e-4, err_msg=k,
+        )
+
+    # dp x tp mechanics with dropout active (different bitstream than
+    # the XLA path; finite + runs is the contract)
+    cfg_do = dataclasses.replace(
+        Stage1Config.tiny(n_critic=1),
+        bert=dataclasses.replace(Stage1Config.tiny().bert, fused_attention=True),
+    )
+    sys_do = Stage1System(cfg_do)
+    st = sys_do.init(jax.random.key(5), 4)
+    mesh22 = make_tp_mesh(data=2, model=2)
+    st22 = shard_state_2d(st, mesh22)
+    _, m22 = make_train_step_2d(sys_do, mesh22, donate=False)(
+        st22, jax.device_put(batch, NamedSharding(mesh22, P("data"))),
+        jax.random.key(6),
+    )
+    assert np.isfinite(float(m22["loss_gen"]))

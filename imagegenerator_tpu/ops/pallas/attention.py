@@ -318,7 +318,7 @@ def _pallas_bwd(seed, *rest, nhH, rate, hw_prng, interpret, has_mask):
     )(seed, *mask_args, m, l, q, k, v, do)
 
 
-def _make_partitioned(impl, rule: str, **sizes):
+def _make_partitioned(impl, rule):
     """Wrap a shape-adaptive pallas caller in custom_partitioning so
     GSPMD/Shardy shards it instead of all-gathering the opaque custom
     call: batch rides any data axis, the packed-heads dim shards by head
@@ -330,9 +330,6 @@ def _make_partitioned(impl, rule: str, **sizes):
     identically, so DP replicas and head-group shards draw the same
     keep-pattern — the DP half is exactly the reference's synchronized
     per-replica RNG (train.py:66, stage_1_train_fn.py:98-106)."""
-    from jax._src.custom_partitioning_sharding_rule import (
-        str_to_sdy_sharding_rule,
-    )
     from jax.experimental.custom_partitioning import custom_partitioning
 
     cp = custom_partitioning(impl)
@@ -374,9 +371,7 @@ def _make_partitioned(impl, rule: str, **sizes):
     cp.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule=str_to_sdy_sharding_rule(
-            rule, need_replication_factors=("t", "d"), **sizes
-        ),
+        sharding_rule=rule,
     )
     return cp
 
@@ -409,20 +404,43 @@ def fused_attention(
         nhH=(num_heads, H), rate=float(dropout_rate),
         hw_prng=not interpret, interpret=interpret, has_mask=has_mask,
     )
-    # d appears only inside the (h d) compound, so its size must be
-    # given; h is a whole dimension of the stats outputs (size inferred)
-    sizes = dict(d=H // num_heads)
-    qkv = "b t (h d), b t (h d), b t (h d)"
-    stats = "b h t, b h t"
+    # Shardy factor mappings: the packed H dim is the (h, d) compound —
+    # h (head groups) is the shardable factor, d (head_dim) and t are
+    # replication factors (each kernel program needs whole rows). d
+    # appears only inside the compound, so its size is given explicitly.
+    from jax.experimental.custom_partitioning import (
+        CompoundFactor,
+        SdyShardingRule,
+    )
+
+    act = ("b", "t", CompoundFactor("h", "d"))  # any (B, T, H) operand
+    stat = ("b", "h", "t")
+    seed_m = ("s",)
+    mask_m = ("b", "u", "t")
+
+    def _rule(operands, results):
+        return SdyShardingRule(
+            operand_mappings=tuple(operands),
+            result_mappings=tuple(results),
+            need_replication_factors=("t", "d"),
+            d=H // num_heads,
+        )
+
     if has_mask:
         mask_args = (mask.astype(jnp.int32).reshape(B, 1, T),)
-        fwd_rule = f"s, b u t, {qkv} -> b t (h d), {stats}"
-        bwd_rule = f"s, b u t, {stats}, {qkv}, b t (h d) -> {qkv}"
+        fwd_rule = _rule([seed_m, mask_m, act, act, act], [act, stat, stat])
+        bwd_rule = _rule(
+            [seed_m, mask_m, stat, stat, act, act, act, act],
+            [act, act, act],
+        )
     else:
         mask_args = ()
-        fwd_rule = f"s, {qkv} -> b t (h d), {stats}"
-        bwd_rule = f"s, {stats}, {qkv}, b t (h d) -> {qkv}"
+        fwd_rule = _rule([seed_m, act, act, act], [act, stat, stat])
+        bwd_rule = _rule(
+            [seed_m, stat, stat, act, act, act, act], [act, act, act]
+        )
     seed = seed.astype(jnp.int32)
+
     # plain *args closures: custom_partitioning resolves every argument
     # positionally and rejects functools.partial-bound keywords
     def _fwd_impl(*args):
@@ -431,8 +449,8 @@ def fused_attention(
     def _bwd_impl(*args):
         return _pallas_bwd(*args, **common)
 
-    fwd_cp = _make_partitioned(_fwd_impl, fwd_rule, **sizes)
-    bwd_cp = _make_partitioned(_bwd_impl, bwd_rule, **sizes)
+    fwd_cp = _make_partitioned(_fwd_impl, fwd_rule)
+    bwd_cp = _make_partitioned(_bwd_impl, bwd_rule)
 
     @jax.custom_vjp
     def _attn(q, k, v):

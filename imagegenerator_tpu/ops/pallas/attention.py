@@ -452,21 +452,46 @@ def fused_attention(
     fwd_cp = _make_partitioned(_fwd_impl, fwd_rule)
     bwd_cp = _make_partitioned(_bwd_impl, bwd_rule)
 
+    # seed/mask are PRIMAL ARGS (float0 cotangents), not closure
+    # captures: a closed-over tracer escapes its trace when the
+    # custom_vjp is re-staged under jax.checkpoint (remat)
+    def _f0(x):
+        import numpy as np
+
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    if has_mask:
+
+        @jax.custom_vjp
+        def _attn(seed, mask3, q, k, v):
+            out, _, _ = fwd_cp(seed, mask3, q, k, v)
+            return out
+
+        def _attn_fwd(seed, mask3, q, k, v):
+            out, m, l = fwd_cp(seed, mask3, q, k, v)
+            return out, (seed, mask3, q, k, v, m, l)
+
+        def _attn_bwd(res, do):
+            seed, mask3, q, k, v, m, l = res
+            dq, dk, dv = bwd_cp(seed, mask3, m, l, q, k, v, do.astype(q.dtype))
+            return _f0(seed), _f0(mask3), dq, dk, dv
+
+        _attn.defvjp(_attn_fwd, _attn_bwd)
+        return _attn(seed, mask_args[0], q, k, v)
+
     @jax.custom_vjp
-    def _attn(q, k, v):
-        out, _, _ = fwd_cp(seed, *mask_args, q, k, v)
+    def _attn(seed, q, k, v):
+        out, _, _ = fwd_cp(seed, q, k, v)
         return out
 
-    def _attn_fwd(q, k, v):
-        out, m, l = fwd_cp(seed, *mask_args, q, k, v)
-        return out, (q, k, v, m, l)
+    def _attn_fwd(seed, q, k, v):
+        out, m, l = fwd_cp(seed, q, k, v)
+        return out, (seed, q, k, v, m, l)
 
     def _attn_bwd(res, do):
-        q, k, v, m, l = res
-        dq, dk, dv = bwd_cp(
-            seed, *mask_args, m, l, q, k, v, do.astype(q.dtype)
-        )
-        return dq, dk, dv
+        seed, q, k, v, m, l = res
+        dq, dk, dv = bwd_cp(seed, m, l, q, k, v, do.astype(q.dtype))
+        return _f0(seed), dq, dk, dv
 
     _attn.defvjp(_attn_fwd, _attn_bwd)
-    return _attn(q, k, v)
+    return _attn(seed, q, k, v)

@@ -158,3 +158,24 @@ def test_fused_attention_step_with_dropout_runs():
         assert np.isfinite(float(metrics["loss_gen"]))
         outs.append(float(metrics["loss_gen"]))
     assert outs[0] != outs[1]
+
+
+def test_fused_attention_composes_with_remat():
+    """jax.checkpoint over the custom-VJP attention kernel: remat treats
+    it atomically and must not change the math."""
+    import dataclasses
+
+    base = Stage1Config.tiny(n_critic=1, text_dropout=False)
+    outs = []
+    for remat in (False, True):
+        cfg = dataclasses.replace(
+            base, remat=remat,
+            bert=dataclasses.replace(base.bert, fused_attention=True),
+        )
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        outs.append({k: float(v) for k, v in metrics.items()})
+    for k in outs[0]:
+        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-5, err_msg=k)

@@ -43,6 +43,10 @@ Env knobs:
   BENCH_ATTN   (default xla) text-encoder attention impl: xla | pallas
                (fused QK^T+softmax+dropout+PV kernel with recompute
                backward, ops/pallas/attention.py)
+  BENCH_TEXT_REUSE (default 0) 1 = stage-1 mismatched pairs reuse the
+               matched embeddings (tem_mis = tem[perm]; halves the
+               text-encoder cost; under dropout the mismatched pair
+               shares its twin's dropout sample)
 """
 
 import json
@@ -371,9 +375,12 @@ def bench_stage1(fastpath: bool = False):
         bert_cfg = dataclasses.replace(
             bert_cfg, gelu_approximate=True, fused_attention=True
         )
+    reuse = (
+        True if os.environ.get("BENCH_TEXT_REUSE", "0") == "1" else None
+    )
     cfg = Stage1Config(
         compute_dtype=dtype, unroll_critic=unroll, remat=remat,
-        bert=bert_cfg,
+        bert=bert_cfg, text_reuse_mismatched=reuse,
     )
     system = Stage1System(cfg)
     # jit the init: eager flax init of BERT-base is thousands of small

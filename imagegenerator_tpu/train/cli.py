@@ -74,6 +74,14 @@ def get_parser() -> argparse.ArgumentParser:
                         "HF SpanBERT computes; default) or 'tanh' "
                         "(approximation, ~9%% faster stage-1 step on "
                         "v5e; benchmarks/PROFILE_stage1_r03.md)")
+    p.add_argument("--text_reuse_mis", action="store_true",
+                   help="stage 1: reuse the matched-caption embeddings "
+                        "for the mismatched pairs (tem_mis = tem[perm]) "
+                        "— halves the dominant text-encoder cost. Exact "
+                        "when text dropout is off (then it is automatic);"
+                        " under dropout the mismatched pair shares its "
+                        "matched twin's dropout sample instead of the "
+                        "reference's fresh draw")
     p.add_argument("--fused_attn", action="store_true",
                    help="fuse text-encoder attention (QK^T+softmax+"
                         "dropout+PV) into one Pallas kernel per "
@@ -183,10 +191,15 @@ def main(argv=None):
         # architecture (the converter smoke-test path)
         tiny_kw.update(bert=bert_cfg, seq_len=args.seq_len)
     if args.stage == 1:
+        s1_kw = {}
+        if args.text_reuse_mis:
+            s1_kw["text_reuse_mismatched"] = True
         cfg = (
-            s1.Stage1Config.tiny(**tiny_kw)
+            s1.Stage1Config.tiny(**tiny_kw, **s1_kw)
             if args.tiny
-            else s1.Stage1Config(lr=args.lr, encoder_lr=args.encoder_lr, **common)
+            else s1.Stage1Config(
+                lr=args.lr, encoder_lr=args.encoder_lr, **common, **s1_kw
+            )
         )
     else:
         cfg = (

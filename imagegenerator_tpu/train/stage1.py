@@ -76,6 +76,21 @@ class Stage1Config:
     # the critic loop and the generator backward (~8 -> 3 BERT
     # forward-equivalents). True restores per-iteration resampling.
     text_resample_per_iter: bool = False
+    # Reuse the matched-caption embeddings for the mismatched pairs
+    # (tem_mis = tem[perm]) instead of encoding the permuted copies as a
+    # second half-batch — HALVES the dominant text-encoder cost, the
+    # same reuse the stage-2 token path ships (stage2.py, round-3).
+    # None (default) = AUTO: on when text_dropout is False, where it is
+    # mathematically EXACT (the permuted rows would compute identical
+    # embeddings); off when dropout is active, because the reference
+    # draws fresh dropout noise for the mismatched forward
+    # (stage_1_train_fn.py:117-123). True applies it under dropout too:
+    # each mismatched pair then shares its matched twin's dropout sample
+    # — a different noise structure than the reference's, semantically a
+    # cleaner "mismatched caption" (the critic sees exactly another
+    # sample's embedding). Ignored by the reference-faithful
+    # text_resample_per_iter branch.
+    text_reuse_mismatched: bool | None = None
     # Rematerialize generator/critic forwards in the loss functions to
     # trade FLOPs for activation memory (larger per-chip batches).
     remat: bool = False
@@ -344,30 +359,56 @@ class Stage1System:
         # (tests/test_step_options.py; ADVICE.md round-2: the old
         # dropout-conditioned dispatch made that comparison vacuous).
         k_drop_hoist = jax.random.fold_in(k_loop, c.n_critic)
+        reuse_mis = c.text_reuse_mismatched
+        if reuse_mis is None:
+            reuse_mis = not c.text_dropout  # exact when dropout is off
         hoisted_tems = None
         text_vjp = None
+        vjp_doubled = False
         if not c.text_resample_per_iter:
             enc_proj = {
                 "encoder": state.params["encoder"],
                 "projection": state.params["projection"],
             }
+            if reuse_mis:
+                # matched rows only; mismatched = gather of the same
+                # embeddings (Stage1Config.text_reuse_mismatched)
+                def text_matched(ep):
+                    return self.encode_text(
+                        ep["encoder"],
+                        ep["projection"],
+                        tokens,
+                        mask,
+                        k_drop_hoist if c.text_dropout else None,
+                    )
 
-            def text_both_2b(ep):
-                return self.encode_text(
-                    ep["encoder"],
-                    ep["projection"],
-                    tokens_2b,
-                    mask_2b,
-                    k_drop_hoist if c.text_dropout else None,
+                text_fn = (
+                    jax.checkpoint(text_matched) if c.remat else text_matched
                 )
+                tem_val, text_vjp = jax.vjp(text_fn, enc_proj)
+                hoisted_tems = (tem_val, tem_val[perm])
+            else:
 
-            # remat: the vjp residuals are the doubled-batch BERT's full
-            # activation stack, which caps the per-chip batch (b256 OOMs
-            # at 16 GB); checkpointing trades one recomputed forward for
-            # that memory, like the gen/critic remat below.
-            text_fn = jax.checkpoint(text_both_2b) if c.remat else text_both_2b
-            tem_2b_val, text_vjp = jax.vjp(text_fn, enc_proj)
-            hoisted_tems = (tem_2b_val[:bsz], tem_2b_val[bsz:])
+                def text_both_2b(ep):
+                    return self.encode_text(
+                        ep["encoder"],
+                        ep["projection"],
+                        tokens_2b,
+                        mask_2b,
+                        k_drop_hoist if c.text_dropout else None,
+                    )
+
+                # remat: the vjp residuals are the doubled-batch BERT's
+                # full activation stack, which caps the per-chip batch
+                # (b256 OOMs at 16 GB with XLA attention); checkpointing
+                # trades one recomputed forward for that memory, like
+                # the gen/critic remat below.
+                text_fn = (
+                    jax.checkpoint(text_both_2b) if c.remat else text_both_2b
+                )
+                tem_val, text_vjp = jax.vjp(text_fn, enc_proj)
+                hoisted_tems = (tem_val[:bsz], tem_val[bsz:])
+                vjp_doubled = True
 
         # ---------------- critic inner loop (lax.scan) ----------------
         def critic_iter(carry, it_key):
@@ -463,8 +504,16 @@ class Stage1System:
                     sub, tem_full
                 )
             )
-            cot = jnp.concatenate([tem_grad, jnp.zeros_like(tem_grad)], axis=0)
-            (ep_grads,) = text_vjp(cot.astype(tem_2b_val.dtype))
+            # the mismatched usages are stop-gradient (critic inputs), so
+            # their cotangent is zero: a zero half-batch for the doubled
+            # forward, or nothing at all for the reuse path
+            if vjp_doubled:
+                cot = jnp.concatenate(
+                    [tem_grad, jnp.zeros_like(tem_grad)], axis=0
+                )
+            else:
+                cot = tem_grad
+            (ep_grads,) = text_vjp(cot.astype(tem_val.dtype))
             gen_grads = dict(sub_grads)
             gen_grads["encoder"] = ep_grads["encoder"]
             gen_grads["projection"] = ep_grads["projection"]

@@ -83,7 +83,10 @@ def test_per_iter_equals_hoisted_without_dropout():
 
     from imagegenerator_tpu.train.stage1 import MODULES
 
-    base = dict(n_critic=1, text_dropout=False)
+    # reuse pinned OFF so both paths run the same doubled-batch text
+    # forward and the comparison isolates the vjp cotangent plumbing
+    # (the reuse path has its own parity test below)
+    base = dict(n_critic=1, text_dropout=False, text_reuse_mismatched=False)
     metrics_out, deltas_out = [], []
     for per_iter in (False, True):
         cfg = Stage1Config.tiny(**base, text_resample_per_iter=per_iter)
@@ -179,3 +182,69 @@ def test_fused_attention_composes_with_remat():
         outs.append({k: float(v) for k, v in metrics.items()})
     for k in outs[0]:
         np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-5, err_msg=k)
+
+
+def test_text_reuse_mismatched_exact_without_dropout():
+    """AUTO reuse (tem_mis = tem[perm], on when text dropout is off) must
+    match the doubled-batch forward: the permuted rows compute identical
+    embeddings. Tolerances: the B-row vs 2B-row forward differs by
+    ~1.6e-7 (batch-tiling float noise — verified directly), and the
+    critic-update feedback loop amplifies that into ~1e-3-scale
+    differences in individual encoder-grad coordinates, so metrics are
+    tight and per-coordinate grads loose; a plumbing bug would be O(1)
+    wrong, far outside these bounds."""
+    import dataclasses
+
+    import optax
+
+    from imagegenerator_tpu.train.stage1 import MODULES
+
+    metrics_out, deltas_out = [], []
+    for reuse in (False, True):
+        cfg = Stage1Config.tiny(
+            n_critic=1, text_dropout=False, text_reuse_mismatched=reuse
+        )
+        system = Stage1System(cfg)
+        system.tx = {m: optax.sgd(1.0) for m in MODULES}
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        new_state, metrics = step(state, _batch(cfg), jax.random.key(2))
+        metrics_out.append({k: float(v) for k, v in metrics.items()})
+        deltas_out.append(
+            jax.tree.map(
+                lambda n, o: np.asarray(n) - np.asarray(o),
+                new_state.params,
+                state.params,
+            )
+        )
+    for k in metrics_out[0]:
+        np.testing.assert_allclose(
+            metrics_out[0][k], metrics_out[1][k], rtol=1e-4, err_msg=k
+        )
+    for mod in ("encoder", "projection"):
+        for x, y in zip(
+            jax.tree.leaves(deltas_out[0][mod]),
+            jax.tree.leaves(deltas_out[1][mod]),
+        ):
+            np.testing.assert_allclose(x, y, rtol=5e-2, atol=2e-3, err_msg=mod)
+
+
+def test_text_reuse_mismatched_with_dropout_runs_and_differs():
+    """Opt-in reuse under dropout: the mismatched pair shares its matched
+    twin's dropout sample (a different noise structure than the
+    reference's fresh draw) — the step must run, stay finite, and differ
+    from the default."""
+    import dataclasses
+
+    outs = []
+    for reuse in (False, True):
+        cfg = Stage1Config.tiny(
+            n_critic=1, text_dropout=True, text_reuse_mismatched=reuse
+        )
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), B)
+        step = make_train_step(system, donate=False)
+        _, metrics = step(state, _batch(cfg), jax.random.key(2))
+        assert np.isfinite(float(metrics["loss_gen"]))
+        outs.append(float(metrics["loss_critic"]))
+    assert outs[0] != outs[1]

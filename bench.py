@@ -343,14 +343,17 @@ def _bench_bert_cfg():
     return cfg
 
 
-def bench_stage1(fastpath: bool = False):
+def bench_stage1(fastpath: bool = False, reuse: bool = False):
     """Stage-I 64px train step (BASELINE.json configs 1-2): full text
     encoder fine-tuning inside the GAN step, n_critic=5, images/sec/chip.
 
     ``fastpath=True`` benches the recommended from-scratch-training
     setting (tanh GELU + rbg PRNG + fused Pallas attention — the three
     measured wins of benchmarks/PROFILE_stage1_r03.md) under its own
-    metric name; the default stays checkpoint-faithful."""
+    metric name; ``reuse=True`` additionally shares the matched-caption
+    embeddings with the mismatched pairs (tem_mis = tem[perm], halves
+    the text-encoder FLOPs — semantics note in Stage1Config). The
+    default stays checkpoint-faithful."""
     import dataclasses
 
     from imagegenerator_tpu.train.stage1 import (
@@ -375,12 +378,14 @@ def bench_stage1(fastpath: bool = False):
         bert_cfg = dataclasses.replace(
             bert_cfg, gelu_approximate=True, fused_attention=True
         )
-    reuse = (
-        True if os.environ.get("BENCH_TEXT_REUSE", "0") == "1" else None
+    reuse_cfg = (
+        True
+        if reuse or os.environ.get("BENCH_TEXT_REUSE", "0") == "1"
+        else None
     )
     cfg = Stage1Config(
         compute_dtype=dtype, unroll_critic=unroll, remat=remat,
-        bert=bert_cfg, text_reuse_mismatched=reuse,
+        bert=bert_cfg, text_reuse_mismatched=reuse_cfg,
     )
     system = Stage1System(cfg)
     # jit the init: eager flax init of BERT-base is thousands of small
@@ -408,6 +413,8 @@ def bench_stage1(fastpath: bool = False):
         if fastpath
         else "stage1_64px_train_images_per_sec_per_chip"
     )
+    if reuse:
+        name = "stage1_64px_fastpath_reuse_images_per_sec_per_chip"
     if fastpath:
         _RNG_IMPL_OVERRIDE = None
     _emit(
@@ -644,6 +651,7 @@ def main():
         bench_host()
         bench_stage1()
         bench_stage1(fastpath=True)
+        bench_stage1(fastpath=True, reuse=True)
         bench_v2()
         bench_stage2()
         return
@@ -651,6 +659,7 @@ def main():
         "v2": bench_v2,
         "stage1": bench_stage1,
         "stage1_fast": lambda: bench_stage1(fastpath=True),
+        "stage1_fast_reuse": lambda: bench_stage1(fastpath=True, reuse=True),
         "host": bench_host,
         "e2e": bench_e2e,
         "stage2": bench_stage2,

@@ -1,8 +1,10 @@
 """Benchmark suite for the framework's headline workloads.
 
-Default run emits FOUR JSON lines — host pipeline, stage-1, v2, and
-stage-2 LAST (the driver's single-line parse reads the final line; the
-stage-2 256px img/s/chip is the headline, BASELINE.md). Every number is
+Default run emits SIX metric lines (after the session-roofline context
+line) — host pipeline, stage-1 faithful, stage-1 fastpath, stage-1
+fastpath+reuse, v2, and stage-2 LAST (the driver's single-line parse
+reads the final line; the stage-2 256px img/s/chip is the headline,
+BASELINE.md). Every number is
 the MEDIAN of BENCH_REPS timed windows with the min/max spread recorded
 (VERDICT.md round-2: single-window best-case numbers did not reproduce).
 
@@ -19,10 +21,12 @@ Workloads (all reference-shaped):
           JPEGs — decode in the loop (BENCH_TARGET=e2e only; slow)
 
 Env knobs:
-  BENCH_TARGET (default all) all | stage2 | stage1 | stage1_fast | v2
-               | host | e2e (stage1_fast = tanh GELU + rbg PRNG +
-               fused Pallas attention, the recommended from-scratch
-               training setting; emitted by default in 'all')
+  BENCH_TARGET (default all) all | stage2 | stage1 | stage1_fast |
+               stage1_fast_reuse | v2 | host | e2e (stage1_fast = tanh
+               GELU + rbg PRNG + fused Pallas attention, the
+               recommended from-scratch training setting;
+               stage1_fast_reuse adds the mismatched-embedding reuse;
+               both emitted by default in 'all')
   BENCH_BATCH  per-chip batch (stage2/e2e default 256 = measured best;
                stage1 default 128; v2 default 1)
   BENCH_PRECOMPUTED (default 1) stage2 caption embeddings precomputed
@@ -408,13 +412,14 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False):
 
     samples, state = _timed_step_windows(compiled, state, data, steps)
     med, stats = _median_stats(samples)
-    name = (
-        "stage1_64px_fastpath_images_per_sec_per_chip"
-        if fastpath
-        else "stage1_64px_train_images_per_sec_per_chip"
-    )
-    if reuse:
-        name = "stage1_64px_fastpath_reuse_images_per_sec_per_chip"
+    # name derives from the EFFECTIVE config: BENCH_TEXT_REUSE=1 makes
+    # reuse apply to any stage-1 target, and the metric name must say so
+    # (a reuse-accelerated number under the faithful name would corrupt
+    # baseline tracking)
+    name = "stage1_64px_fastpath" if fastpath else "stage1_64px_train"
+    if reuse_cfg:
+        name += "_reuse"
+    name += "_images_per_sec_per_chip"
     if fastpath:
         _RNG_IMPL_OVERRIDE = None
     _emit(

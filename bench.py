@@ -1,12 +1,20 @@
 """Benchmark suite for the framework's headline workloads.
 
-Default run emits SIX metric lines (after the session-roofline context
-line) — host pipeline, stage-1 faithful, stage-1 fastpath, stage-1
-fastpath+reuse, v2, and stage-2 LAST (the driver's single-line parse
-reads the final line; the stage-2 256px img/s/chip is the headline,
-BASELINE.md). Every number is
+Default run emits NINE metric lines (after the session-roofline context
+line) — host pipeline, stage-1 headline, stage-1 golden, stage-1
+fastpath, stage-1 fastpath+reuse, v2, v2 batched, e2e-from-loader, and
+stage-2 LAST (the driver's single-line parse reads the final line; the
+stage-2 256px img/s/chip is the headline, BASELINE.md). Every number is
 the MEDIAN of BENCH_REPS timed windows with the min/max spread recorded
 (VERDICT.md round-2: single-window best-case numbers did not reproduce).
+
+Headline policy (VERDICT.md round-3 next #2): training headlines run
+the FASTEST config whose function semantics are identical to the
+HF/reference math — exact-erf GELU + fused Pallas attention + rbg step
+keys. Only the noise BITSTREAMS differ from threefry/XLA, and no JAX
+bitstream was ever faithful to the reference's torch CPU-generator
+noise, so bitstream identity is a goldens/test concern. The pinned
+threefry+XLA config stays as the *_golden metrics.
 
 Workloads (all reference-shaped):
   host    synthetic ~640px JPEGs decoded+resized+collated through the
@@ -15,20 +23,21 @@ Workloads (all reference-shaped):
           (reference stage_1_train_fn.py)
   v2      VQGAN-CLIP latent-opt steps/sec, full-size f16-16384 VQGAN +
           ViT-B/32, 128px, 32 cutouts, display_freq iterations chained
-          into ONE dispatch (reference generate.py:167-180)
+          into ONE dispatch (reference generate.py:167-180); the
+          batched variant packs 4 prompts per step (config 5)
   stage2  256px refinement train step (reference stage_2_train_fn.py)
   e2e     stage-2 training fed by the real DataLoader over in-memory
-          JPEGs — decode in the loop (BENCH_TARGET=e2e only; slow)
+          JPEGs — decode in the loop
 
 Env knobs:
-  BENCH_TARGET (default all) all | stage2 | stage1 | stage1_fast |
-               stage1_fast_reuse | v2 | host | e2e (stage1_fast = tanh
-               GELU + rbg PRNG + fused Pallas attention, the
-               recommended from-scratch training setting;
-               stage1_fast_reuse adds the mismatched-embedding reuse;
-               both emitted by default in 'all')
+  BENCH_TARGET (default all) all | stage2 | stage2_golden | stage1 |
+               stage1_golden | stage1_fast | stage1_fast_reuse | v2 |
+               v2_batched | host | e2e (stage1_fast = tanh GELU on top
+               of the headline config, the recommended from-scratch
+               training setting; stage1_fast_reuse adds the
+               mismatched-embedding reuse)
   BENCH_BATCH  per-chip batch (stage2/e2e default 256 = measured best;
-               stage1 default 128; v2 default 1)
+               stage1 default 128; v2 default 1, v2_batched default 4)
   BENCH_PRECOMPUTED (default 1) stage2 caption embeddings precomputed
                offline (the frozen-encoder production design; 0 times
                the in-step BERT forward instead)
@@ -36,17 +45,18 @@ Env knobs:
   BENCH_REPS   (default 5)  timed windows per metric (median reported)
   BENCH_CHAIN  (default 20) v2 iterations per dispatch (display_freq)
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
-  BENCH_GELU   (default exact) text-encoder GELU: exact (HF-faithful
-               erf) | tanh (approximation, ~9% faster stage-1 step)
-  BENCH_RNG    (default threefry) in-step PRNG impl: '' | rbg (~8%
-               faster stage-1 step on top of tanh GELU; deterministic,
-               different bitstream)
+  BENCH_GELU   text-encoder GELU: exact (HF-faithful erf; headline +
+               golden default) | tanh (approximation, ~9% faster
+               stage-1 step; fastpath default)
+  BENCH_RNG    step-key PRNG impl: threefry (golden default) | rbg
+               (headline default; deterministic, different bitstream,
+               measured faster mask/noise generation)
   BENCH_LN     (default xla) text-encoder LayerNorm impl: xla | pallas
                (fused one-pass LayerNorm VJP kernel,
                ops/pallas/layernorm.py)
-  BENCH_ATTN   (default xla) text-encoder attention impl: xla | pallas
-               (fused QK^T+softmax+dropout+PV kernel with recompute
-               backward, ops/pallas/attention.py)
+  BENCH_ATTN   text-encoder attention impl: xla (golden default) |
+               pallas (headline default: fused QK^T+softmax+dropout+PV
+               kernel with recompute backward, ops/pallas/attention.py)
   BENCH_TEXT_REUSE (default 0) 1 = stage-1 mismatched pairs reuse the
                matched embeddings (tem_mis = tem[perm]; halves the
                text-encoder cost; under dropout the mismatched pair
@@ -203,7 +213,7 @@ def _mfu_extras(compiled, per_exec_seconds: float, steps_per_exec: int = 1) -> d
     return extras
 
 
-def bench_v2():
+def bench_v2(batched: bool = False):
     """VQGAN-CLIP latent-opt steps/sec: full-size f16-16384 VQGAN +
     ViT-B/32 (random-init weights — same FLOPs as published ckpts),
     128x128 image, 32 cutouts, Adam on z — the reference's default
@@ -211,7 +221,13 @@ def bench_v2():
     iterations run as ONE dispatch via lax.scan, exactly like the
     production ``GenerateEngine.run`` driver: the ~12 ms single step was
     dispatch-latency-exposed over the tunnel, which is why the round-2
-    single-step numbers didn't reproduce (VERDICT.md weak #1)."""
+    single-step numbers didn't reproduce (VERDICT.md weak #1).
+
+    ``batched=True`` (or BENCH_BATCH>1) runs B prompts in one step — the
+    multi-prompt packing shape of BASELINE.json config 5 — and reports
+    prompt-steps/sec under its own metric name, so the "packing is
+    throughput-neutral" claim is driver-captured instead of prose
+    (VERDICT.md round-3 next #6)."""
     import numpy as np
 
     from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
@@ -219,12 +235,19 @@ def bench_v2():
     from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
 
     chain = int(os.environ.get("BENCH_CHAIN", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if batched else "1"))
     dtype = (
         jnp.bfloat16
         if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
         else jnp.float32
     )
+    # typed keys carry their impl, so the run key's PRNG governs EVERY
+    # in-step draw (cutout geometry, augmentation bits, per-pixel noise
+    # normals); BENCH_RNG overrides (same semantics as the train benches)
+    rng_impl = _rng_impl(None)
+
+    def _key(i):
+        return _bench_key(i, rng_impl)
 
     vq_cfg = VQGANConfig.imagenet_f16_16384()
     clip_cfg = CLIPConfig.vit_b32()
@@ -253,7 +276,7 @@ def bench_v2():
         compute_dtype=dtype,
     )
     h = w = 128 // vq_cfg.f
-    z = engine.random_token_latent(jax.random.key(2), batch, h, w)
+    z = engine.random_token_latent(_key(2), batch, h, w)
     state = engine.init_state(z)
     embeds = jnp.zeros((batch, 1, clip_cfg.embed_dim))
     weights = jnp.ones((batch, 1))
@@ -262,12 +285,12 @@ def bench_v2():
     # AOT-compile the chained step for the executable-level FLOPs count
     chain_fn = type(engine)._chain_impl
     compiled = chain_fn.lower(
-        engine, vq_params, clip_params, state, chain, jax.random.key(3),
+        engine, vq_params, clip_params, state, chain, _key(3),
         embeds, weights, stops,
     ).compile()
 
     state, losses = compiled(
-        vq_params, clip_params, state, jax.random.key(3), embeds, weights, stops
+        vq_params, clip_params, state, _key(3), embeds, weights, stops
     )
     _fence(losses)
 
@@ -282,7 +305,7 @@ def bench_v2():
         for w in range(chains_per_window):
             state, losses = compiled(
                 vq_params, clip_params, state,
-                jax.random.fold_in(jax.random.key(4), r * 131 + w),
+                jax.random.fold_in(_key(4), r * 131 + w),
                 embeds, weights, stops,
             )
         _fence(losses)
@@ -292,17 +315,23 @@ def bench_v2():
     # once, not trip-count times — verified: the chain executable reports
     # the same ~719 GFLOP as one unchained step — so flops are already
     # per-iteration and pair with the per-step time.
+    name = (
+        "vqgan_clip_batched_steps_per_sec"
+        if batch > 1
+        else "vqgan_clip_latent_opt_steps_per_sec"
+    )
     _emit(
-        "vqgan_clip_latent_opt_steps_per_sec",
+        name,
         batch / med,
-        "steps/sec",
+        "steps/sec" if batch == 1 else "prompt-steps/sec",
         chain=chain,
+        batch=batch,
         **stats,
         **_mfu_extras(compiled, med),
     )
 
 
-def _timed_step_windows(compiled, state, data, steps):
+def _timed_step_windows(compiled, state, data, steps, rng_impl=None):
     """Median per-step seconds over BENCH_REPS windows of ``steps`` calls
     (async dispatch: only the final fence synchronizes each window)."""
     samples = []
@@ -310,56 +339,76 @@ def _timed_step_windows(compiled, state, data, steps):
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = compiled(
-                state, data, jax.random.fold_in(_bench_key(3 + r), i)
+                state, data, jax.random.fold_in(_bench_key(3 + r, rng_impl), i)
             )
         _fence(metrics)
         samples.append((time.perf_counter() - t0) / steps)
     return samples, state
 
 
-_RNG_IMPL_OVERRIDE = None  # set by the stage-1 fastpath bench
-
-
-def _bench_key(seed: int):
-    """Step key honoring BENCH_RNG (default threefry; 'rbg' is the fast
-    deterministic alternative — the key array carries its impl, so the
-    step lowers for whichever is passed)."""
-    impl = _RNG_IMPL_OVERRIDE or os.environ.get("BENCH_RNG")
+def _bench_key(seed: int, impl: str | None = None):
+    """Step key with an explicit PRNG impl ('rbg' is the fast
+    deterministic alternative to threefry — the key array carries its
+    impl, so the step lowers for whichever is passed). BENCH_RNG
+    overrides when set and non-empty ('threefry' forces the default)."""
+    env = os.environ.get("BENCH_RNG")
+    if env is not None and env != "":
+        impl = None if env == "threefry" else env
     return jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
 
 
-def _bench_bert_cfg():
-    """Text-encoder config for the training benches. BENCH_GELU=tanh
-    selects the tanh GELU approximation (~9% faster stage-1 step,
-    semantics diverge ~1e-3 from HF SpanBERT's exact erf — see
-    BertConfig.gelu_approximate); default stays checkpoint-faithful."""
+def _rng_impl(default: str | None) -> str | None:
+    """Resolve the step-key PRNG impl: BENCH_RNG overrides the variant
+    default; '' / 'threefry' mean the threefry default."""
+    env = os.environ.get("BENCH_RNG")
+    if env is not None:
+        default = env
+    return None if default in (None, "", "threefry") else default
+
+
+def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla"):
+    """Text-encoder config for the training benches, from per-variant
+    defaults; BENCH_GELU / BENCH_LN / BENCH_ATTN override. gelu=tanh is
+    the approximation (~9% faster stage-1 step, ~1e-3 from HF
+    SpanBERT's exact erf — BertConfig.gelu_approximate); attn=pallas is
+    the fused attention kernel (identical function semantics, different
+    dropout bitstream — ops/pallas/attention.py)."""
     import dataclasses
 
     from imagegenerator_tpu.models.bert import BertConfig
 
     cfg = BertConfig()
-    if os.environ.get("BENCH_GELU", "exact") == "tanh":
+    if os.environ.get("BENCH_GELU", gelu) == "tanh":
         cfg = dataclasses.replace(cfg, gelu_approximate=True)
-    if os.environ.get("BENCH_LN", "xla") == "pallas":
+    if os.environ.get("BENCH_LN", ln) == "pallas":
         cfg = dataclasses.replace(cfg, fused_ln=True)
-    if os.environ.get("BENCH_ATTN", "xla") == "pallas":
+    if os.environ.get("BENCH_ATTN", attn) == "pallas":
         cfg = dataclasses.replace(cfg, fused_attention=True)
     return cfg
 
 
-def bench_stage1(fastpath: bool = False, reuse: bool = False):
+def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = False):
     """Stage-I 64px train step (BASELINE.json configs 1-2): full text
     encoder fine-tuning inside the GAN step, n_critic=5, images/sec/chip.
 
-    ``fastpath=True`` benches the recommended from-scratch-training
-    setting (tanh GELU + rbg PRNG + fused Pallas attention — the three
-    measured wins of benchmarks/PROFILE_stage1_r03.md) under its own
-    metric name; ``reuse=True`` additionally shares the matched-caption
-    embeddings with the mismatched pairs (tem_mis = tem[perm], halves
-    the text-encoder FLOPs — semantics note in Stage1Config). The
-    default stays checkpoint-faithful."""
-    import dataclasses
+    Variants (VERDICT.md round-3 next #2 — the headline is the FASTEST
+    config whose function semantics are identical to HF SpanBERT):
 
+    * default (headline): exact-erf GELU + fused Pallas attention + rbg
+      step keys. Only the dropout/noise BITSTREAMS differ from
+      threefry/XLA — and no JAX bitstream was ever faithful to the
+      reference's torch CPU-generator noise (stage_1_train_fn.py:98-106),
+      so bitstream identity is a regression-test concern, not a
+      benchmark one.
+    * ``golden=True``: exact GELU + XLA attention + threefry — the
+      bitstream-pinned config the goldens/tests pin, kept as its own
+      metric for regression tracking.
+    * ``fastpath=True``: + tanh GELU (the approximation, ~1e-3 off) —
+      the recommended from-scratch-training setting.
+    * ``reuse=True``: + mismatched pairs share the matched-caption
+      embeddings (tem_mis = tem[perm], halves the text-encoder FLOPs —
+      semantics note in Stage1Config).
+    """
     from imagegenerator_tpu.train.stage1 import (
         Stage1Config,
         Stage1System,
@@ -375,13 +424,14 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False):
         else jnp.float32
     )
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    bert_cfg = _bench_bert_cfg()
-    if fastpath:
-        global _RNG_IMPL_OVERRIDE
-        _RNG_IMPL_OVERRIDE = "rbg"
-        bert_cfg = dataclasses.replace(
-            bert_cfg, gelu_approximate=True, fused_attention=True
+    if golden:
+        bert_cfg = _bench_bert_cfg(gelu="exact", attn="xla")
+        rng_impl = _rng_impl(None)
+    else:
+        bert_cfg = _bench_bert_cfg(
+            gelu="tanh" if fastpath else "exact", attn="pallas"
         )
+        rng_impl = _rng_impl("rbg")
     reuse_cfg = (
         True
         if reuse or os.environ.get("BENCH_TEXT_REUSE", "0") == "1"
@@ -406,22 +456,25 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False):
         ),
     }
     step = make_train_step(system, donate=True)
-    compiled = step.lower(state, data, _bench_key(2)).compile()
-    state, metrics = compiled(state, data, _bench_key(2))
+    compiled = step.lower(state, data, _bench_key(2, rng_impl)).compile()
+    state, metrics = compiled(state, data, _bench_key(2, rng_impl))
     _fence(metrics)
 
-    samples, state = _timed_step_windows(compiled, state, data, steps)
+    samples, state = _timed_step_windows(compiled, state, data, steps, rng_impl)
     med, stats = _median_stats(samples)
     # name derives from the EFFECTIVE config: BENCH_TEXT_REUSE=1 makes
     # reuse apply to any stage-1 target, and the metric name must say so
     # (a reuse-accelerated number under the faithful name would corrupt
     # baseline tracking)
-    name = "stage1_64px_fastpath" if fastpath else "stage1_64px_train"
+    if fastpath:
+        name = "stage1_64px_fastpath"
+    elif golden:
+        name = "stage1_64px_train_golden"
+    else:
+        name = "stage1_64px_train"
     if reuse_cfg:
         name += "_reuse"
     name += "_images_per_sec_per_chip"
-    if fastpath:
-        _RNG_IMPL_OVERRIDE = None
     _emit(
         name,
         batch / med,
@@ -481,11 +534,20 @@ def bench_host():
     tok = HashTokenizer(max_length=128)
     loader = DataLoader(ds, tok, batch_size=batch, num_workers=workers)
 
-    # warm one epoch (thread pools, PIL caches), then time epochs
+    # warm one epoch (thread pools, PIL caches), then time epochs.
+    # Full BENCH_REPS windows like every other metric, plus the load
+    # average: on a 1-core host this metric is contention-dominated
+    # (a judge re-run under concurrent load measured 118 vs 282 img/s
+    # — VERDICT.md round-3 weak #3), and loadavg_at_start is the
+    # context needed to interpret a low number.
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     for _ in loader._host_batches():
         pass
     samples = []
-    for _ in range(max(1, _reps() // 2)):
+    for _ in range(_reps()):
         t0 = time.perf_counter()
         count = 0
         for b in loader._host_batches():
@@ -499,19 +561,24 @@ def bench_host():
         "images/sec",
         host_cores=ncores,
         images_per_sec_per_core=round(1.0 / med / ncores, 2),
+        **({"loadavg_at_start": loadavg} if loadavg is not None else {}),
         **stats,
     )
 
 
-def _stage2_setup(batch, dtype, unroll, precomputed):
+def _stage2_setup(batch, dtype, unroll, precomputed, rng_impl=None, golden=False):
     from imagegenerator_tpu.train.stage2 import (
         Stage2Config,
         Stage2System,
         make_train_step,
     )
 
+    # attn default pallas (the semantics-identical fast config) — only
+    # the token path (precomputed=0) runs BERT in-step, so this is inert
+    # for the precomputed headline; golden pins XLA attention + threefry
+    bert_cfg = _bench_bert_cfg(attn="xla" if golden else "pallas")
     cfg = Stage2Config(
-        compute_dtype=dtype, unroll_critic=unroll, bert=_bench_bert_cfg()
+        compute_dtype=dtype, unroll_critic=unroll, bert=bert_cfg
     )
     system = Stage2System(cfg)
     state = jax.jit(system.init, static_argnums=1)(jax.random.key(0), batch)
@@ -534,16 +601,21 @@ def _stage2_setup(batch, dtype, unroll, precomputed):
         batch_data = {"tem": tem, "image": batch_data["image"]}
     batch_data = jax.device_put(batch_data)
     step = make_train_step(system, donate=True)
-    compiled = step.lower(state, batch_data, _bench_key(2)).compile()
+    compiled = step.lower(state, batch_data, _bench_key(2, rng_impl)).compile()
     return system, state, batch_data, compiled
 
 
-def bench_stage2():
+def bench_stage2(golden: bool = False):
     """Stage-II 256px train step, the headline metric. Batch 256 is the
     measured best single-chip operating point (round-2 sweep in
     BASELINE.md: the 256px convs want the big batch, 224 misaligns the
     tiling, and past 256 HBM pressure wins); critic-loop unroll lets XLA
-    overlap G2 forwards with critic backwards."""
+    overlap G2 forwards with critic backwards.
+
+    Headline step keys default to rbg (same semantics, different noise
+    bitstream — threefry bit-generation was measured VPU cost in
+    stage-1, PROFILE_stage1_r03.md); ``golden=True`` pins threefry +
+    XLA attention for regression tracking (BENCH_TARGET=stage2_golden)."""
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     unroll = int(os.environ.get("BENCH_UNROLL", "5"))
@@ -551,14 +623,22 @@ def bench_stage2():
         jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     )
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
-    _, state, batch_data, compiled = _stage2_setup(batch, dtype, unroll, precomputed)
+    rng_impl = _rng_impl(None) if golden else _rng_impl("rbg")
+    _, state, batch_data, compiled = _stage2_setup(
+        batch, dtype, unroll, precomputed, rng_impl, golden
+    )
 
-    state, metrics = compiled(state, batch_data, _bench_key(2))
+    state, metrics = compiled(state, batch_data, _bench_key(2, rng_impl))
     _fence(metrics)
-    samples, state = _timed_step_windows(compiled, state, batch_data, steps)
+    samples, state = _timed_step_windows(compiled, state, batch_data, steps, rng_impl)
     med, stats = _median_stats(samples)
+    name = (
+        "stage2_256px_train_golden_images_per_sec_per_chip"
+        if golden
+        else "stage2_256px_train_images_per_sec_per_chip"
+    )
     _emit(
-        "stage2_256px_train_images_per_sec_per_chip",
+        name,
         batch / med,
         "images/sec/chip",
         precomputed_tem=precomputed,
@@ -593,7 +673,10 @@ def bench_e2e():
     )
     n_imgs = batch * nbatches
 
-    system, state, _, compiled = _stage2_setup(batch, dtype, unroll, True)
+    rng_impl = _rng_impl("rbg")  # match the headline stage-2 config
+    system, state, _, compiled = _stage2_setup(
+        batch, dtype, unroll, True, rng_impl
+    )
 
     store = _build_mem_jpeg_dataset(n_imgs)
     ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
@@ -616,13 +699,13 @@ def bench_e2e():
 
     # warmup: one batch through the whole path (step already compiled)
     it = iter(loader)
-    state, metrics = compiled(state, next(it), jax.random.key(2))
+    state, metrics = compiled(state, next(it), _bench_key(2, rng_impl))
     _fence(metrics)
     count = 0
     t0 = time.perf_counter()
     for i, dev_batch in enumerate(it):
         state, metrics = compiled(
-            state, dev_batch, jax.random.fold_in(_bench_key(3), i)
+            state, dev_batch, jax.random.fold_in(_bench_key(3, rng_impl), i)
         )
         count += batch
     _fence(metrics)
@@ -655,19 +738,25 @@ def main():
         # headline LAST: the driver parses the final JSON line
         bench_host()
         bench_stage1()
+        bench_stage1(golden=True)
         bench_stage1(fastpath=True)
         bench_stage1(fastpath=True, reuse=True)
         bench_v2()
+        bench_v2(batched=True)
+        bench_e2e()
         bench_stage2()
         return
     {
         "v2": bench_v2,
+        "v2_batched": lambda: bench_v2(batched=True),
         "stage1": bench_stage1,
+        "stage1_golden": lambda: bench_stage1(golden=True),
         "stage1_fast": lambda: bench_stage1(fastpath=True),
         "stage1_fast_reuse": lambda: bench_stage1(fastpath=True, reuse=True),
         "host": bench_host,
         "e2e": bench_e2e,
         "stage2": bench_stage2,
+        "stage2_golden": lambda: bench_stage2(golden=True),
     }[target]()
 
 

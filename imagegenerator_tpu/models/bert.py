@@ -123,7 +123,12 @@ class _SelfAttention(nn.Module):
             if _fattn.supported(x.shape[1], h, nh):
                 rate = 0.0 if deterministic else cfg.dropout_rate
                 if rate > 0.0:
-                    bits = jax.random.bits(self.make_rng("dropout"), (1,))
+                    # explicit uint32: under jax_enable_x64 default bits
+                    # are uint64 and the bitcast would yield (1, 2),
+                    # breaking the kernel's (1,) int32 seed contract
+                    bits = jax.random.bits(
+                        self.make_rng("dropout"), (1,), dtype=jnp.uint32
+                    )
                     seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
                 else:
                     seed = jnp.zeros((1,), jnp.int32)

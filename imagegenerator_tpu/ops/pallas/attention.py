@@ -14,9 +14,15 @@ O(B*heads*T^2) to O(B*T*hidden).
 Dropout: the keep-mask is regenerated identically in forward and
 backward from a scalar seed — on TPU via the hardware PRNG
 (``pltpu.prng_random_bits``), in interpret mode (CPU tests) via an
-in-kernel integer hash (xorshift finalizer) over (row, col, head, batch)
-— so no mask tensor is ever stored. The two bitstreams differ; each is
-deterministic per seed.
+in-kernel integer hash (xorshift finalizer) — so no mask tensor is ever
+stored. Masks are ADDRESSED by (global batch row, global head): the
+PRNG is (re)seeded per (row, head) with ``base + row*1000003 +
+head*7919``, where the custom_partitioning lowering supplies each
+shard's global row/head offsets. Consequences: forward and backward
+replay bit-identically with no draw-order contract, and a GSPMD-sharded
+run (any dp x head-group layout) draws the SAME masks as the unsharded
+run (tests/test_tp.py::test_stage1_2d_mesh_fused_attention). The hw and
+interpret bitstreams differ; each is deterministic per seed.
 
 Reference semantics matched: HF BERT self-attention with attention-prob
 dropout, as fine-tuned in-step by ``/root/reference/train.py:68`` /
@@ -68,20 +74,22 @@ def _hash_bits(shape, salt):
     return x
 
 
-def _keep_mask(shape, rate, hw_prng, seed_ref, i, g, h):
-    """Keep-mask (f32 0/1) for attention-prob dropout.
-
-    hw path: bits come from the per-program-seeded hardware PRNG, so
-    masks are addressed purely by DRAW ORDER — the fwd and bwd kernels
-    MUST iterate (g, h) identically or dropout silently desynchronizes
-    between forward and gradient. Interpret path: counter-based hash
-    salted per (program, row, head), order-independent."""
+def _keep_mask(shape, rate, hw_prng, seed_ref, i, rows, g, h):
+    """Keep-mask (f32 0/1) for attention-prob dropout, addressed by
+    GLOBAL (batch row, head): seed_ref is (3,) int32 [base, row_offset,
+    head_offset] (offsets are 0 in the unsharded trace; the
+    custom_partitioning lowering writes each shard's). hw path: reseed
+    the hardware PRNG per (row, head) — order-independent, so fwd/bwd
+    replay needs no draw-order contract and sharded == unsharded.
+    Interpret path: the same salt feeds the counter hash."""
     thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    row = seed_ref[1] + jnp.int32(i * rows + g)
+    head = seed_ref[2] + jnp.int32(h)
+    salt = seed_ref[0] + row * jnp.int32(1000003) + head * jnp.int32(7919)
     if hw_prng:
+        pltpu.prng_seed(salt)
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     else:
-        salt = (seed_ref[0] + i * jnp.int32(1000003)
-                + jnp.int32(g * 65537 + h * 7919))
         bits = _hash_bits(shape, salt)
     return (bits >= thresh).astype(jnp.float32)
 
@@ -107,10 +115,6 @@ def _fwd_kernel(
         q_ref, k_ref, v_ref, o_ref, m_ref, l_ref = refs
         mask_ref = None
     i = pl.program_id(0)
-    if rate > 0.0 and hw_prng:
-        # one seed per program; draws arrive in (row, head) order, which
-        # the backward replays identically (see _keep_mask)
-        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(1000003))
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for g in range(rows):
         q2, k2, v2 = q_ref[g], k_ref[g], v_ref[g]
@@ -130,7 +134,10 @@ def _fwd_kernel(
             m_ref[g, h, :] = m[:, 0]
             l_ref[g, h, :] = l[:, 0]
             if rate > 0.0:
-                p = p * (_keep_mask(p.shape, rate, hw_prng, seed_ref, i, g, h) * inv)
+                p = p * (
+                    _keep_mask(p.shape, rate, hw_prng, seed_ref, i, rows, g, h)
+                    * inv
+                )
             ctx = jax.lax.dot_general(
                 p.astype(v2.dtype), v2[:, h * hd:(h + 1) * hd],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -150,9 +157,6 @@ def _bwd_kernel(
         dq_ref, dk_ref, dv_ref = refs[6:]
         mask_ref = None
     i = pl.program_id(0)
-    if rate > 0.0 and hw_prng:
-        # identical seed + (row, head)-ordered draws replay the fwd masks
-        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(1000003))
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for g in range(rows):
         q2, k2, v2, do2 = q_ref[g], k_ref[g], v_ref[g], do_ref[g]
@@ -167,7 +171,7 @@ def _bwd_kernel(
             ) * (1.0 / l_ref[g, h, :])[:, None]
             if rate > 0.0:
                 keep = _keep_mask(
-                    probs.shape, rate, hw_prng, seed_ref, i, g, h
+                    probs.shape, rate, hw_prng, seed_ref, i, rows, g, h
                 ) * inv
                 pd = probs * keep
             else:
@@ -318,7 +322,7 @@ def _pallas_bwd(seed, *rest, nhH, rate, hw_prng, interpret, has_mask):
     )(seed, *mask_args, m, l, q, k, v, do)
 
 
-def _make_partitioned(impl, rule):
+def _make_partitioned(impl, rule, arg_kinds, res_kinds, nhH):
     """Wrap a shape-adaptive pallas caller in custom_partitioning so
     GSPMD/Shardy shards it instead of all-gathering the opaque custom
     call: batch rides any data axis, the packed-heads dim shards by head
@@ -326,47 +330,86 @@ def _make_partitioned(impl, rule):
     split of the qkv Dense kernels in parallel/tp.py), and T/head_dim
     are replication factors (each program needs whole rows). The
     per-shard lowering is ``impl`` itself — it rebuilds tile geometry
-    from the shard shapes. Dropout note: every shard seeds the hw PRNG
-    identically, so DP replicas and head-group shards draw the same
-    keep-pattern — the DP half is exactly the reference's synchronized
+    from the shard shapes.
+
+    ``arg_kinds``/``res_kinds`` name each operand/result's layout:
+    'seed' (1,), 'mask' (B, 1, T), 'act' (B, T, H), 'stat' (B, nh, T).
+    ``partition`` CANONICALIZES every sharding from those kinds — batch
+    axis on dim 0 and head-group axis on the packed-H/heads dim, taken
+    from the last operand (always an activation); T and head_dim are
+    never sharded. Echoing the partitioner's proposed arg shardings
+    verbatim could silently hand the kernel T-sharded rows (ADVICE.md
+    round-3 medium).
+
+    Dropout note: keep-masks are addressed by GLOBAL (batch row, head)
+    — the lowering writes each shard's row/head offsets into elements
+    1-2 of the (3,) seed operand, so a GSPMD-sharded run draws the SAME
+    masks as the unsharded run under any dp x head-group layout
+    (ADVICE.md round-3 low; the round-3 local-head salt also made
+    head-sharded masks diverge). Under shard_map (manual mode — this
+    wrapper is bypassed) replicas keep the reference's synchronized
     per-replica RNG (train.py:66, stage_1_train_fn.py:98-106)."""
     from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     cp = custom_partitioning(impl)
+    nh_g, H_g = nhH
+
+    def _axes(arg_shapes):
+        spec = arg_shapes[-1].sharding.spec  # last operand is 'act'
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[2] if len(spec) > 2 else None
+        return b_ax, h_ax
+
+    def _shardings(mesh, b_ax, h_ax, kinds):
+        by_kind = {
+            "seed": P(None),
+            "mask": P(b_ax, None, None),
+            "act": P(b_ax, None, h_ax),
+            "stat": P(b_ax, h_ax, None),
+        }
+        return tuple(NamedSharding(mesh, by_kind[k]) for k in kinds)
 
     def partition(mesh, arg_shapes, result_shape):
-        res = result_shape if isinstance(result_shape, (list, tuple)) else [result_shape]
+        b_ax, h_ax = _axes(arg_shapes)
+
+        def _idx(axes):
+            idx = jnp.zeros((), jnp.int32)
+            for ax in (axes,) if not isinstance(axes, tuple) else axes:
+                if ax is not None:
+                    idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+            return idx
+
+        def lower(*args):
+            if b_ax is not None or h_ax is not None:
+                act = args[-1]  # per-shard (local) shapes
+                row_off = jnp.int32(0)
+                head_off = jnp.int32(0)
+                if b_ax is not None:
+                    row_off = _idx(b_ax) * act.shape[0]
+                if h_ax is not None:
+                    local_nh = nh_g * act.shape[2] // H_g
+                    head_off = _idx(h_ax) * local_nh
+                seed = args[0]
+                seed = jnp.stack(
+                    [seed[0], seed[1] + row_off, seed[2] + head_off]
+                )
+                args = (seed,) + args[1:]
+            return impl(*args)
+
         return (
             mesh,
-            impl,
-            tuple(s.sharding for s in res),
-            tuple(s.sharding for s in arg_shapes),
+            lower,
+            _shardings(mesh, b_ax, h_ax, res_kinds),
+            _shardings(mesh, b_ax, h_ax, arg_kinds),
         )
 
     def infer(mesh, arg_shapes, result_shape):
-        # the GSPMD (non-Shardy) propagation path. The LAST operand is
-        # always (B, T, H)-shaped with the activation sharding (v in the
-        # fwd, the out-cotangent in the bwd); outputs either share that
-        # shape exactly or are the (B, heads, T) stats, which inherit
-        # the batch axis and put the head-group axis on dim 1.
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        proto = arg_shapes[-1]
-        spec = proto.sharding.spec
-        b_ax = spec[0] if len(spec) > 0 else None
-        h_ax = spec[2] if len(spec) > 2 else None
-        res = (
-            result_shape
-            if isinstance(result_shape, (list, tuple))
-            else [result_shape]
-        )
-        outs = [
-            proto.sharding
-            if r.shape == proto.shape
-            else NamedSharding(mesh, P(b_ax, h_ax, None))
-            for r in res
-        ]
-        return tuple(outs) if len(outs) > 1 else outs[0]
+        # the GSPMD (non-Shardy) propagation path: outputs get the
+        # canonical kind shardings derived from the last operand
+        b_ax, h_ax = _axes(arg_shapes)
+        outs = _shardings(mesh, b_ax, h_ax, res_kinds)
+        return outs if len(outs) > 1 else outs[0]
 
     cp.def_partition(
         partition=partition,
@@ -433,13 +476,21 @@ def fused_attention(
             [seed_m, mask_m, stat, stat, act, act, act, act],
             [act, act, act],
         )
+        fwd_kinds = ["seed", "mask", "act", "act", "act"]
+        bwd_kinds = ["seed", "mask", "stat", "stat", "act", "act", "act", "act"]
     else:
         mask_args = ()
         fwd_rule = _rule([seed_m, act, act, act], [act, stat, stat])
         bwd_rule = _rule(
             [seed_m, stat, stat, act, act, act, act], [act, act, act]
         )
-    seed = seed.astype(jnp.int32)
+        fwd_kinds = ["seed", "act", "act", "act"]
+        bwd_kinds = ["seed", "stat", "stat", "act", "act", "act", "act"]
+    # (3,) [base, row_offset, head_offset]: offsets stay 0 here and are
+    # written per-shard by the custom_partitioning lowering
+    seed = jnp.concatenate(
+        [seed.astype(jnp.int32).reshape(1), jnp.zeros((2,), jnp.int32)]
+    )
 
     # plain *args closures: custom_partitioning resolves every argument
     # positionally and rejects functools.partial-bound keywords
@@ -449,8 +500,12 @@ def fused_attention(
     def _bwd_impl(*args):
         return _pallas_bwd(*args, **common)
 
-    fwd_cp = _make_partitioned(_fwd_impl, fwd_rule)
-    bwd_cp = _make_partitioned(_bwd_impl, bwd_rule)
+    fwd_cp = _make_partitioned(
+        _fwd_impl, fwd_rule, fwd_kinds, ["act", "stat", "stat"], (num_heads, H)
+    )
+    bwd_cp = _make_partitioned(
+        _bwd_impl, bwd_rule, bwd_kinds, ["act", "act", "act"], (num_heads, H)
+    )
 
     # seed/mask are PRIMAL ARGS (float0 cotangents), not closure
     # captures: a closed-over tracer escapes its trace when the

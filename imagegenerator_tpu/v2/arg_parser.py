@@ -57,4 +57,11 @@ def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the optimization "
                         "loop into this directory (xprof / TensorBoard "
                         "profile plugin)")
+    p.add_argument("--rng_impl", type=str, default=None,
+                   choices=["threefry2x32", "rbg"], dest="rng_impl",
+                   help="PRNG impl for the run key (typed keys carry their "
+                        "impl through split/fold_in, so this switches every "
+                        "in-step draw: cutout geometry, augmentation bits, "
+                        "noise). rbg = faster bit generation, deterministic, "
+                        "different bitstream; default threefry")
     return p

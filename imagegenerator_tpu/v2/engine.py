@@ -230,14 +230,23 @@ class GenerateEngine:
         iterations: int,
         display_freq: int = 20,
         checkin=None,
+        progress=None,
     ) -> LatentState:
         """Driver loop: each ``display_freq`` window of iterations runs as
         ONE device dispatch (``chain``); the host only syncs at checkins.
         The reference syncs every iteration via tqdm/loss prints —
         dispatch amortization is the TPU-shaped redesign of its hot loop
         (generate.py:167-180, VERDICT.md round-2 next #1). Key schedule is
-        identical to stepping one iteration at a time."""
+        identical to stepping one iteration at a time.
+
+        ``progress(done, total, last_losses)`` is the per-chain progress
+        surface (the reference's visible tqdm contract,
+        generate.py:185-188): called once per chain window with the LAST
+        iteration's per-prompt losses (B, P). The losses of window k are
+        fetched only after window k+1 is enqueued, so progress costs no
+        device idle time."""
         i = 0
+        pending = None  # (iters_done, device losses of the finished chain)
         while True:
             do_checkin = checkin is not None and i % display_freq == 0
             if do_checkin:
@@ -253,12 +262,21 @@ class GenerateEngine:
                 )
             if i < iterations:
                 n = min(display_freq - i % display_freq, iterations - i)
-                state, _ = self.chain(state, n, key, embeds, weights, stops)
+                state, chain_losses = self.chain(
+                    state, n, key, embeds, weights, stops
+                )
+            if pending is not None and progress is not None:
+                done, dev_losses = pending
+                progress(done, iterations, np.asarray(dev_losses))
+            pending = (i + n, chain_losses[-1]) if i < iterations else None
             if do_checkin:
                 checkin(i, np.asarray(imgs), np.asarray(losses))
             if i >= iterations:
                 break
             i += n
+        if pending is not None and progress is not None:
+            done, dev_losses = pending
+            progress(done, iterations, np.asarray(dev_losses))
         return state
 
 

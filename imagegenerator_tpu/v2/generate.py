@@ -128,7 +128,11 @@ def main(argv=None):
     batch = len(prompt_sets)
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
     print("Using seed:", seed)
-    key = jax.random.key(seed)
+    key = (
+        jax.random.key(seed, impl=args.rng_impl)
+        if args.rng_impl
+        else jax.random.key(seed)
+    )
     k_vq, k_clip, k_init, k_run = jax.random.split(key, 4)
 
     vq_cfg, vq_params = load_vqgan(args.vqgan_config, args.vqgan_checkpoint, k_vq)
@@ -201,6 +205,15 @@ def main(argv=None):
             print(f"{prefix}i: {i}, loss: {per_prompt.sum():g}, losses: {loss_str}")
             save_png(out_path(b), imgs[b], f"{prompts}")
 
+    def progress(done, total, last_losses):
+        # one line per chain window (the reference's visible per-iteration
+        # tqdm bar, generate.py:185-188, amortized to the dispatch window)
+        per_image = [
+            f"{last_losses[b, : max(1, len(p))].sum():g}"
+            for b, p in enumerate(prompt_sets)
+        ]
+        print(f"progress: {done}/{total} iterations, loss: {', '.join(per_image)}")
+
     import contextlib
 
     from imagegenerator_tpu.utils.profiling import trace
@@ -219,6 +232,7 @@ def main(argv=None):
                 iterations=args.max_iterations,
                 display_freq=args.display_freq,
                 checkin=checkin,
+                progress=progress,
             )
     except KeyboardInterrupt:
         pass  # reference generate.py:194-195

@@ -24,6 +24,11 @@ def test_generate_cli_end_to_end(tmp_path, capsys):
     captured = capsys.readouterr()
     assert "Using seed: 123" in captured.out
     assert "i: 0, loss:" in captured.out
+    # per-chain progress surface (reference generate.py:185-188;
+    # VERDICT.md round-3 next #7): 2 iterations, save_every 1 -> two
+    # chain windows
+    assert "progress: 1/2 iterations, loss:" in captured.out
+    assert "progress: 2/2 iterations, loss:" in captured.out
 
     img = Image.open(out)
     assert img.size == (32, 32)

@@ -81,8 +81,10 @@ def test_stage1_2d_mesh_bert_tp():
     exactly-ish: the only parallelism is TP, whose collectives are
     mathematically the identity, and the BatchNorm-stats difference
     between the shard_map path (per-shard) and GSPMD (global) vanishes
-    with a single data shard. A (4, 2) step then checks dp x tp
-    mechanics end to end."""
+    with a single data shard. A (4, 2) step then checks NUMERICS parity
+    at dp>=2 against the single-device step on the same full batch —
+    GSPMD BN is sync-BN over the logical batch, so the two must agree
+    (VERDICT.md round-3 next #3)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from imagegenerator_tpu.train.stage1 import (
@@ -144,14 +146,37 @@ def test_stage1_2d_mesh_bert_tp():
         rtol=5e-4, atol=5e-4,
     )
 
-    # dp=4 x tp=2 mechanics: one step, finite losses, step counter advanced
+    # dp=4 x tp=2 NUMERICS parity (VERDICT.md round-3 next #3): GSPMD is
+    # a partitioning of the same logical program — BatchNorm reduces over
+    # the logical batch (sync-BN) and threefry bits are
+    # partitioning-invariant, so the dp>=2 step must reproduce the
+    # single-device step on the SAME full batch (dropout on is fine)
+    # within float-reassociation tolerance.
     mesh42 = make_tp_mesh(data=4, model=2)
     batch8 = jax.tree.map(lambda x: jnp.concatenate([x, x]), batch)
+    ref8_state, ref8_metrics = make_train_step(system, donate=False)(
+        state, batch8, jax.random.key(3)
+    )
     st2 = shard_state_2d(state, mesh42)
     out2, m2 = make_train_step_2d(system, mesh42, donate=False)(
         st2, jax.device_put(batch8, NamedSharding(mesh42, P("data"))), jax.random.key(3)
     )
-    assert all(np.isfinite(float(v)) for v in jax.tree.leaves(m2))
+    for k in ref8_metrics:
+        np.testing.assert_allclose(
+            np.asarray(m2[k]), np.asarray(ref8_metrics[k]),
+            rtol=5e-4, atol=5e-4, err_msg=f"dp4xtp2 {k}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out2.params["encoder"]["layer_0"]["intermediate"]["kernel"]),
+        np.asarray(ref8_state.params["encoder"]["layer_0"]["intermediate"]["kernel"]),
+        rtol=5e-4, atol=5e-4,
+    )
+    # sync-BN: the running stats must match the full-batch estimator too
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out2.batch_stats)[0]),
+        np.asarray(jax.tree.leaves(ref8_state.batch_stats)[0]),
+        rtol=5e-4, atol=5e-4,
+    )
     assert int(out2.step) == int(state.step) + 1
 
 
@@ -162,8 +187,9 @@ def test_stage1_2d_mesh_fused_attention():
     the kernel body runs per-shard with the LOCAL head count instead of
     being all-gathered. At data=1/tp=2 with text dropout off it must
     reproduce the meshless fused step exactly-ish (TP collectives are
-    the identity); a (2, 2) run with dropout on checks dp x tp
-    mechanics."""
+    the identity); a (2, 2) run with dropout ON must ALSO reproduce the
+    meshless step, because the partition lowering addresses dropout
+    keep-masks by global batch row (seed offset per data shard)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     import dataclasses
@@ -207,18 +233,34 @@ def test_stage1_2d_mesh_fused_attention():
             rtol=5e-4, atol=5e-4, err_msg=k,
         )
 
-    # dp x tp mechanics with dropout active (different bitstream than
-    # the XLA path; finite + runs is the contract)
+    # dp=2 x tp=2 NUMERICS parity, dropout ACTIVE (VERDICT.md round-3
+    # next #3): the kernel's custom_partitioning folds each data shard's
+    # global batch offset into the dropout seed (ADVICE.md round-3), so
+    # keep-masks are addressed by GLOBAL row and the sharded step
+    # reproduces the meshless fused-attention step even under dropout;
+    # threefry nn.Dropout masks elsewhere are partitioning-invariant.
     cfg_do = dataclasses.replace(
         Stage1Config.tiny(n_critic=1),
         bert=dataclasses.replace(Stage1Config.tiny().bert, fused_attention=True),
     )
     sys_do = Stage1System(cfg_do)
     st = sys_do.init(jax.random.key(5), 4)
+    ref_do_state, ref_do_metrics = make_train_step(sys_do, donate=False)(
+        st, batch, jax.random.key(6)
+    )
     mesh22 = make_tp_mesh(data=2, model=2)
     st22 = shard_state_2d(st, mesh22)
-    _, m22 = make_train_step_2d(sys_do, mesh22, donate=False)(
+    out22, m22 = make_train_step_2d(sys_do, mesh22, donate=False)(
         st22, jax.device_put(batch, NamedSharding(mesh22, P("data"))),
         jax.random.key(6),
     )
-    assert np.isfinite(float(m22["loss_gen"]))
+    for k in ref_do_metrics:
+        np.testing.assert_allclose(
+            np.asarray(m22[k]), np.asarray(ref_do_metrics[k]),
+            rtol=5e-4, atol=5e-4, err_msg=f"dp2xtp2 dropout {k}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(out22.params["encoder"]["layer_0"]["attention"]["query"]["kernel"]),
+        np.asarray(ref_do_state.params["encoder"]["layer_0"]["attention"]["query"]["kernel"]),
+        rtol=5e-4, atol=5e-4,
+    )

@@ -1,0 +1,199 @@
+"""Op-CLASS accounting of a workload's device self-time (round 4).
+
+VERDICT.md round-3 next #1 asks where the v2 step's "~65% long tail"
+lives, op-class-by-op-class: a top-op table proves nothing when no
+single op exceeds 1.5% — the question is how much of the step is
+convolution/dot (healthy MXU work) vs elementwise fusion, convert,
+reduce, copy/transpose and RNG (everything that is NOT riding the MXU).
+
+Captures a trace of the production chained v2 dispatch (or stage-1 /
+stage-2 train steps; or parses an existing ``--xplane`` dir), feeds the
+xplane through xprof's ``framework_op_stats``, and groups device
+self-time by the HLO category column, printing per-class totals, the
+top ops inside each class, and the class's share of total device time.
+
+Usage:
+    python tools/profile_opclass.py --workload v2 [--rng_impl rbg]
+    python tools/profile_opclass.py --xplane /tmp/trace_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture_v2(out_dir: str, rng_impl: str | None, chain: int, batch: int):
+    """Trace BENCH_V2-shaped chained dispatches (the production path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
+    from imagegenerator_tpu.v2.engine import GenerateEngine
+    from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
+
+    vq_cfg = VQGANConfig.imagenet_f16_16384()
+    clip_cfg = CLIPConfig.vit_b32()
+    vq_params = jax.jit(
+        lambda k: VQModel(vq_cfg).init(k, jnp.zeros((1, 256, 256, 3)))["params"]
+    )(jax.random.key(0))
+    clip_params = jax.jit(
+        lambda k: CLIP(clip_cfg).init(
+            k, jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
+        )["params"]
+    )(jax.random.key(1))
+    engine = GenerateEngine(
+        vqgan_config=vq_cfg, clip_config=clip_cfg, vqgan_params=vq_params,
+        clip_params=clip_params, cutn=32, step_size=0.1,
+        compute_dtype=jnp.bfloat16,
+    )
+    h = w = 128 // vq_cfg.f
+    z = engine.random_token_latent(jax.random.key(2), batch, h, w)
+    state = engine.init_state(z)
+    embeds = jnp.zeros((batch, 1, clip_cfg.embed_dim))
+    weights = jnp.ones((batch, 1))
+    stops = jnp.full((batch, 1), -np.inf)
+
+    def key(i):
+        return (
+            jax.random.key(i, impl=rng_impl) if rng_impl else jax.random.key(i)
+        )
+
+    chain_fn = type(engine)._chain_impl
+    compiled = chain_fn.lower(
+        engine, vq_params, clip_params, state, chain, key(3),
+        embeds, weights, stops,
+    ).compile()
+    state, losses = compiled(vq_params, clip_params, state, key(3),
+                             embeds, weights, stops)
+    jax.block_until_ready(losses)
+    with jax.profiler.trace(out_dir):
+        for i in range(3):
+            state, losses = compiled(vq_params, clip_params, state, key(4 + i),
+                                     embeds, weights, stops)
+        jax.block_until_ready(losses)
+    flops = compiled.cost_analysis().get("flops", 0.0)
+    print(f"trace captured ({3 * chain} iterations; "
+          f"{flops / 1e9:.1f} GFLOP/iteration per cost analysis)")
+    return 3 * chain  # device executions of the step body
+
+
+def parse_opstats(trace_dir: str):
+    """xplane -> list of dict rows from xprof framework_op_stats."""
+    from xprof.convert import raw_to_tool_data as rtd
+
+    planes = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not planes:
+        raise SystemExit(f"no .xplane.pb under {trace_dir}")
+    data_bytes, _ = rtd.xspace_to_tool_data(planes, "framework_op_stats", {})
+    gviz = json.loads(
+        data_bytes if isinstance(data_bytes, str) else data_bytes.decode()
+    )
+    cols = [c["label"] if c.get("label") else c["id"] for c in gviz["cols"]]
+    rows = []
+    for r in gviz["rows"]:
+        rows.append({c: (v["v"] if v else None)
+                     for c, v in zip(cols, r["c"])})
+    return rows
+
+
+# HLO category -> op class. Everything not named here falls through to
+# the category string itself (so nothing is silently dropped).
+CLASS_OF = {
+    "convolution": "conv/dot (MXU)",
+    "convolution fusion": "conv/dot (MXU)",
+    "output fusion": "conv/dot (MXU)",   # dot + fused epilogue
+    "matmul": "conv/dot (MXU)",
+    "dot": "conv/dot (MXU)",
+    "loop fusion": "elementwise fusion (VPU)",
+    "input fusion": "reduce fusion",
+    "reduce": "reduce fusion",
+    "rng": "rng",
+    "rng-bit-generator": "rng",
+    "copy": "copy/transpose",
+    "transpose": "copy/transpose",
+    "copy fusion": "copy/transpose",
+    "convert": "convert",
+    "select-and-scatter": "scatter",
+    "scatter": "scatter",
+    "gather": "gather",
+    "dynamic-update-slice": "loop bookkeeping",
+    "dynamic-slice": "loop bookkeeping",
+    "while": "loop bookkeeping",
+    "tuple": "loop bookkeeping",
+    "custom-call": "custom-call (pallas)",
+    "non-fusion elementwise": "elementwise fusion (VPU)",
+}
+
+
+def classify(rows, executions: int | None):
+    """Group DEVICE rows by op class on self-time."""
+
+    def f(v):
+        return float(v) if v not in (None, "") else 0.0
+
+    dev = [r for r in rows if str(r.get("Host/device", "")).lower() != "host"
+           and f(r.get("Total self-time (us)")) > 0]
+    # column names vary slightly across xprof versions; resolve once
+    if dev and "Total self-time (us)" not in dev[0]:
+        keys = list(dev[0].keys())
+        raise SystemExit(f"unexpected columns: {keys}")
+    total = sum(f(r["Total self-time (us)"]) for r in dev)
+    by_class: dict[str, list] = {}
+    for r in dev:
+        cat = (r.get("Category") or "?").lower()
+        cls = CLASS_OF.get(cat, cat)
+        by_class.setdefault(cls, []).append(r)
+    print(f"\ntotal device self-time: {total / 1e3:.2f} ms"
+          + (f" ({total / 1e3 / executions:.3f} ms/iteration)" if executions
+             else ""))
+    print(f"{'class':<28} {'ms':>9} {'%':>6}  top ops (self %)")
+    out = []
+    for cls, rs in sorted(
+        by_class.items(),
+        key=lambda kv: -sum(f(r["Total self-time (us)"]) for r in kv[1]),
+    ):
+        t = sum(f(r["Total self-time (us)"]) for r in rs)
+        tops = sorted(rs, key=lambda r: -f(r["Total self-time (us)"]))[:4]
+        top_str = ", ".join(
+            f"{(r.get('Operation') or r.get('Op name') or '?')[:34]}"
+            f" {100 * f(r['Total self-time (us)']) / total:.1f}%"
+            for r in tops
+        )
+        print(f"{cls:<28} {t / 1e3:>9.2f} {100 * t / total:>5.1f}%  {top_str}")
+        out.append({"class": cls, "ms": t / 1e3, "pct": 100 * t / total})
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="v2", choices=["v2"])
+    ap.add_argument("--xplane", default=None,
+                    help="parse an existing trace dir instead of capturing")
+    ap.add_argument("--rng_impl", default=None, choices=[None, "rbg"],
+                    help="PRNG impl for the step keys (v2 capture)")
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--keep", default=None,
+                    help="directory to keep the captured trace in")
+    args = ap.parse_args()
+
+    if args.xplane:
+        classify(parse_opstats(args.xplane), None)
+        return
+    out_dir = args.keep or tempfile.mkdtemp(prefix="opclass_")
+    execs = capture_v2(out_dir, args.rng_impl, args.chain, args.batch)
+    classify(parse_opstats(out_dir), execs)
+
+
+if __name__ == "__main__":
+    main()

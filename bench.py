@@ -243,8 +243,10 @@ def bench_v2(batched: bool = False):
     )
     # typed keys carry their impl, so the run key's PRNG governs EVERY
     # in-step draw (cutout geometry, augmentation bits, per-pixel noise
-    # normals); BENCH_RNG overrides (same semantics as the train benches)
-    rng_impl = _rng_impl(None)
+    # normals); BENCH_RNG overrides (same semantics as the train benches).
+    # rbg is the headline default, matching the training headline policy:
+    # same math, different noise bitstream, measured ~1% faster
+    rng_impl = _rng_impl("rbg")
 
     def _key(i):
         return _bench_key(i, rng_impl)
@@ -314,7 +316,10 @@ def bench_v2(batched: bool = False):
     # XLA's executable cost analysis counts a lax.scan (while-loop) BODY
     # once, not trip-count times — verified: the chain executable reports
     # the same ~719 GFLOP as one unchained step — so flops are already
-    # per-iteration and pair with the per-step time.
+    # per-iteration and pair with the per-step time. Under
+    # IMAGEGEN_CHAIN_UNROLL>1 the counted body holds ``unroll``
+    # iterations; steps_per_exec rescales to per-iteration.
+    unroll = max(1, int(os.environ.get("IMAGEGEN_CHAIN_UNROLL", "1")))
     name = (
         "vqgan_clip_batched_steps_per_sec"
         if batch > 1
@@ -327,7 +332,7 @@ def bench_v2(batched: bool = False):
         chain=chain,
         batch=batch,
         **stats,
-        **_mfu_extras(compiled, med),
+        **_mfu_extras(compiled, med * unroll, steps_per_exec=unroll),
     )
 
 

@@ -214,14 +214,21 @@ class _PatchEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (p, p, C, self.width)
         )
         dtype = self.dtype or images.dtype
-        # cast BEFORE the 6-D patch transpose: the reorganization moves no
-        # math, and at bf16 the transpose (and its backward mirror) moves
-        # half the HBM bytes — the fwd cast + bwd reshape were 0.66 ms of
-        # the v2 step at f32 (benchmarks/PROFILE_v2_r03.md)
+        # cast BEFORE the patch reorganization (half the HBM bytes,
+        # benchmarks/PROFILE_v2_r03.md), then hand the (py, px, c)
+        # contraction straight to dot_general instead of materializing
+        # an explicit 6-D transpose: the strided patch gather moves
+        # 96-byte rows, which as a standalone HBM transpose ran at
+        # ~0.26 ms/iter in the v2 step; folded into the dot's operand
+        # reads it measured ~1% whole-step faster
+        # (benchmarks/PROFILE_v2_r04.md).
         x = images.astype(dtype).reshape(B, H // p, p, W // p, p, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p), p * p * C)
-        k = kernel.reshape(p * p * C, self.width)  # (kh, kw, in) row-major
-        return jnp.dot(x, k.astype(dtype), preferred_element_type=dtype)
+        out = jax.lax.dot_general(
+            x, kernel.astype(dtype),
+            dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (B, H//p, W//p, width)
+        return out.reshape(B, (H // p) * (W // p), self.width)
 
 
 class VisionTransformer(nn.Module):

@@ -29,7 +29,10 @@ from imagegenerator_tpu.v2.augment import (
     random_color_augment,
     random_geometry,
 )
-from imagegenerator_tpu.v2.warp2pass import warp_homography_2pass
+from imagegenerator_tpu.v2.warp2pass import (
+    resize_axis_aligned,
+    warp_homography_2pass,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +46,18 @@ class MakeCutouts:
     # single-warp fast path applies (reference-faithful antialiasing for
     # A/B comparisons; ADVICE.md round-2).
     force_lanczos: bool = False
+    # Split the fast-path warp into (aug warp at source res) + (axis-
+    # aligned MXU resize) instead of one composed homography warp. None
+    # = env IMAGEGEN_WARP_SPLIT (default on). False = the composed
+    # single-lerp warp (tightest interpolation; 14% slower whole-step).
+    warp_split: bool | None = None
+
+    def _use_split(self) -> bool:
+        import os
+
+        if self.warp_split is not None:
+            return self.warp_split
+        return os.environ.get("IMAGEGEN_WARP_SPLIT", "1") == "1"
 
     def __call__(self, key: jax.Array, images: jax.Array) -> jax.Array:
         """images: (B, H, W, C) in [0, 1] -> (B * cutn, cut_size,
@@ -97,10 +112,56 @@ class MakeCutouts:
             )  # (cutn, 3, 3)
             # sample n = b * cutn + ci: cutout index varies fastest
             M_crop_n = jnp.tile(M_crop, (B, 1, 1))
-            Ms = jnp.einsum("nij,njk->nik", M_crop_n, Ms_aug)
-            cuts = warp_homography_2pass(
-                colored, Ms, out_shape=(self.cut_size, self.cut_size)
-            )
+            if self._use_split():
+                # SPLIT factorization (round-4 default): G = M_crop @
+                # M_aug = M_aug_src @ M_crop with M_aug_src = M_crop
+                # M_aug M_crop^-1 — the aug homography conjugated into
+                # SOURCE coordinates. The aug warp then runs at source
+                # resolution (HxW dense weight grids instead of
+                # cut_size^2) and the crop+rescale becomes an
+                # axis-aligned resize whose (O, K) weights are shared
+                # across scanlines — a real MXU matmul. Why: the
+                # composed warp's per-scanline tent-weight grids are
+                # ~646 MB/iter of pure HBM traffic at the 32x(128->224)
+                # default and profile as HBM-BOUND (the whole v2 step's
+                # largest cost, benchmarks/PROFILE_v2_r04.md); the
+                # split cuts the grid elements 10.1M -> 4.2M per image
+                # and measured +14% whole-step. Cost: one extra lerp
+                # stage when affine/perspective fire (flip-only and
+                # no-aug cutouts stay exact — integer maps make the
+                # tent one-hot); the reference's own chain resamples
+                # MORE (lanczos resize, then per-aug kornia bilinear
+                # warps: vision_utils.py:71-125).
+                s_n = jnp.tile(s, (B,))
+                t_y = jnp.tile(off_y + half, (B,))
+                t_x = jnp.tile(off_x + half, (B,))
+                zeros_n = jnp.zeros_like(s_n)
+                ones_n = jnp.ones_like(s_n)
+                inv_crop = jnp.stack(
+                    [
+                        jnp.stack([1.0 / s_n, zeros_n, -t_y / s_n], -1),
+                        jnp.stack([zeros_n, 1.0 / s_n, -t_x / s_n], -1),
+                        jnp.stack([zeros_n, zeros_n, ones_n], -1),
+                    ],
+                    axis=-2,
+                )  # (N, 3, 3)
+                M_aug_src = jnp.einsum(
+                    "nij,njk,nkl->nil", M_crop_n, Ms_aug, inv_crop
+                )
+                auged = warp_homography_2pass(
+                    colored, M_aug_src, out_shape=(H, W)
+                )
+                cuts = resize_axis_aligned(
+                    auged,
+                    scale=jnp.stack([s_n, s_n], -1),
+                    offset=jnp.stack([t_y, t_x], -1),
+                    out_shape=(self.cut_size, self.cut_size),
+                )
+            else:
+                Ms = jnp.einsum("nij,njk->nik", M_crop_n, Ms_aug)
+                cuts = warp_homography_2pass(
+                    colored, Ms, out_shape=(self.cut_size, self.cut_size)
+                )
             cuts = jnp.clip(cuts, 0.0, 1.0)
         else:
             out_shape = (B, self.cut_size, self.cut_size, C)

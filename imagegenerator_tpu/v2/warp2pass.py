@@ -131,6 +131,40 @@ def _warp_kernel_path(images, m, Ho, Wo, interpret):
     return out2.reshape(N, Wo, C, Ho).transpose(0, 3, 1, 2)  # (N, Ho, Wo, C)
 
 
+def resize_axis_aligned(
+    images: jax.Array, scale: jax.Array, offset: jax.Array,
+    out_shape: tuple,
+) -> jax.Array:
+    """Per-image separable AXIS-ALIGNED resample: src = scale*out +
+    offset per axis (inverse map). scale/offset: (N, 2) as (y, x).
+
+    The point of existing next to ``warp_homography_2pass``: an
+    axis-aligned map's tent weights don't depend on the scanline, so the
+    weight grids are (N, O, K) — ~57 KB per image instead of the
+    homography warp's (S, O, K) megabytes — and each pass contracts them
+    against ALL rows*channels at once (real MXU N-dim of S*C instead of
+    3). The round-4 profile showed the dense homography warp is
+    HBM-BOUND on exactly that weight traffic (benchmarks/
+    PROFILE_v2_r04.md)."""
+    N, H, W, C = images.shape
+    Ho, Wo = out_shape
+    j = jnp.arange(Wo, dtype=jnp.float32)
+    i = jnp.arange(Ho, dtype=jnp.float32)
+    sx = scale[:, 1:2] * j[None, :] + offset[:, 1:2]  # (N, Wo)
+    sy = scale[:, 0:1] * i[None, :] + offset[:, 0:1]  # (N, Ho)
+    wx = _line_weights(sx, W)  # (N, Wo, W)
+    wy = _line_weights(sy, H)  # (N, Ho, H)
+    x1 = jnp.einsum(
+        "nok,nhkc->nhoc", wx, images.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (N, H, Wo, C)
+    out = jnp.einsum(
+        "nok,nkjc->nojc", wy, x1.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (N, Ho, Wo, C)
+    return out.astype(images.dtype)
+
+
 def warp_homography_2pass(
     images: jax.Array, Ms: jax.Array, out_shape: tuple | None = None
 ) -> jax.Array:

@@ -145,3 +145,69 @@ def test_rectangular_pure_scale_exact_rows():
     got = warp_homography_2pass(img[None], M[None], out_shape=(Ho, Wo))[0]
     want = bilinear_sample(img, homography_grid(Ho, Wo, M))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+
+
+def test_resize_axis_aligned_matches_homography_warp():
+    """The shared-weight axis-aligned resize (the split cutout path's
+    second stage) is numerically identical to the dense homography warp
+    on the same axis-aligned map — the weights are the same tents, only
+    their storage shape differs ((N, O, K) shared vs per-scanline)."""
+    from imagegenerator_tpu.v2.warp2pass import resize_axis_aligned
+
+    N, H, W = 3, 12, 12
+    out = 20
+    img = jax.random.uniform(jax.random.key(9), (N, H, W, 3))
+    s = jnp.array([H / out, H / out * 1.1, H / out * 0.9])
+    half = (s - 1.0) / 2.0
+    t_y = half + jnp.array([0.0, 0.7, -0.3])
+    t_x = half + jnp.array([0.2, 0.0, 0.5])
+    zeros, ones = jnp.zeros_like(s), jnp.ones_like(s)
+    M = jnp.stack(
+        [
+            jnp.stack([s, zeros, t_y], -1),
+            jnp.stack([zeros, s, t_x], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+    want = warp_homography_2pass(img, M, out_shape=(out, out))
+    got = resize_axis_aligned(
+        img, jnp.stack([s, s], -1), jnp.stack([t_y, t_x], -1), (out, out)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_cutout_split_path_exact_when_augs_are_integer_maps():
+    """Split vs composed cutout warps agree EXACTLY when the aug
+    homography is an integer map (identity / pure flip): the conjugated
+    aug warp's tent weights are one-hot, so the extra lerp stage is a
+    pass-through. (Non-integer affine/perspective augs differ by
+    interpolation-chain tolerance by design — the split trades one
+    composed lerp for aug-lerp + resize-lerp, like the reference's own
+    multi-stage chain.)"""
+    import imagegenerator_tpu.v2.augment as aug
+    from imagegenerator_tpu.v2.cutouts import MakeCutouts
+
+    key = jax.random.key(3)
+    img = jax.random.uniform(jax.random.key(1), (2, 12, 12, 3))
+
+    # force integer-map augs: no affine/perspective, flips always fire
+    orig = aug.random_geometry
+
+    def flip_only(k, n, H, W, **kw):
+        kw.update(p_affine=0.0, p_persp=0.0, p_flip=1.0)
+        return orig(k, n, H, W, **kw)
+
+    aug.random_geometry = flip_only
+    try:
+        import imagegenerator_tpu.v2.cutouts as cutmod
+
+        cutmod.random_geometry = flip_only
+        a = MakeCutouts(cut_size=20, cutn=4, augment=True, noise_fac=0.0,
+                        warp_split=True)(key, img)
+        b = MakeCutouts(cut_size=20, cutn=4, augment=True, noise_fac=0.0,
+                        warp_split=False)(key, img)
+    finally:
+        aug.random_geometry = orig
+        cutmod.random_geometry = orig
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

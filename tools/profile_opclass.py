@@ -95,12 +95,17 @@ def parse_opstats(trace_dir: str):
     if not planes:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
     data_bytes, _ = rtd.xspace_to_tool_data(planes, "framework_op_stats", {})
-    gviz = json.loads(
+    tables = json.loads(
         data_bytes if isinstance(data_bytes, str) else data_bytes.decode()
     )
-    cols = [c["label"] if c.get("label") else c["id"] for c in gviz["cols"]]
+    if isinstance(tables, dict):  # single-table variant
+        tables = [tables]
     rows = []
-    for r in gviz["rows"]:
+    # first table = include-IDLE view; both carry the same columns. Use
+    # the first only (the second is the exclude-IDLE duplicate).
+    gviz = tables[0]
+    cols = [c["label"] or c["id"] for c in gviz["cols"]]
+    for r in gviz.get("rows", []):
         rows.append({c: (v["v"] if v else None)
                      for c, v in zip(cols, r["c"])})
     return rows
@@ -141,8 +146,10 @@ def classify(rows, executions: int | None):
     def f(v):
         return float(v) if v not in (None, "") else 0.0
 
-    dev = [r for r in rows if str(r.get("Host/device", "")).lower() != "host"
-           and f(r.get("Total self-time (us)")) > 0]
+    dev = [r for r in rows
+           if str(r.get("Host/device", "")).lower() in ("device", "tpu")
+           and f(r.get("Total self-time (us)")) > 0
+           and (r.get("Operation Name") or "") != "IDLE"]
     # column names vary slightly across xprof versions; resolve once
     if dev and "Total self-time (us)" not in dev[0]:
         keys = list(dev[0].keys())
@@ -150,7 +157,7 @@ def classify(rows, executions: int | None):
     total = sum(f(r["Total self-time (us)"]) for r in dev)
     by_class: dict[str, list] = {}
     for r in dev:
-        cat = (r.get("Category") or "?").lower()
+        cat = (r.get("Operation Type") or "?").lower()
         cls = CLASS_OF.get(cat, cat)
         by_class.setdefault(cls, []).append(r)
     print(f"\ntotal device self-time: {total / 1e3:.2f} ms"
@@ -165,7 +172,7 @@ def classify(rows, executions: int | None):
         t = sum(f(r["Total self-time (us)"]) for r in rs)
         tops = sorted(rs, key=lambda r: -f(r["Total self-time (us)"]))[:4]
         top_str = ", ".join(
-            f"{(r.get('Operation') or r.get('Op name') or '?')[:34]}"
+            f"{(r.get('Operation Name') or '?')[:40]}"
             f" {100 * f(r['Total self-time (us)']) / total:.1f}%"
             for r in tops
         )

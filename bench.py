@@ -1,10 +1,13 @@
 """Benchmark suite for the framework's headline workloads.
 
 Default run emits NINE metric lines (after the session-roofline context
-line) — host pipeline, stage-1 headline, stage-1 golden, stage-1
-fastpath, stage-1 fastpath+reuse, v2, v2 batched, e2e-from-loader, and
-stage-2 LAST (the driver's single-line parse reads the final line; the
-stage-2 256px img/s/chip is the headline, BASELINE.md). Every number is
+line) — host pipeline, e2e-from-loader (EARLY: host-bound, and the
+late-process heap/threads halve it on this 1-core host), stage-1
+headline, stage-1 golden, stage-1 fastpath, stage-1 fastpath+reuse, v2,
+v2 batched, and stage-2 LAST (the driver's single-line parse reads the
+final line; the stage-2 256px img/s/chip is the headline, BASELINE.md).
+Host-bound metrics carry host_spin_ms (the host-speed probe — e2e and
+host-pipeline numbers scale with it). Every number is
 the MEDIAN of BENCH_REPS timed windows with the min/max spread recorded
 (VERDICT.md round-2: single-window best-case numbers did not reproduce).
 
@@ -521,6 +524,24 @@ def _build_mem_jpeg_dataset(n: int, src_px: int = 640):
     return store
 
 
+def _host_spin_ms() -> float:
+    """Host-speed probe (the host analogue of the GEMM roofline probe):
+    a fixed pure-Python spin, median of 3. This shared 1-vCPU VM's
+    deliverable CPU rate varies ~1.6x between seconds (measured on a
+    GC-free tight loop with zero steal/iowait reported), which is the
+    true source of the host-bound metrics' spread — recorded so a slow
+    number is attributable to the host, not the pipeline."""
+
+    def _spin():
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(500_000):
+            x += i * i
+        return time.perf_counter() - t0
+
+    return round(statistics.median(_spin() for _ in range(3)) * 1e3, 2)
+
+
 def bench_host():
     """Host data-pipeline throughput: synthetic ~640px JPEGs (COCO-like)
     decoded + resized + tokenized + collated through the DataLoader's
@@ -549,6 +570,7 @@ def bench_host():
         loadavg = round(os.getloadavg()[0], 2)
     except OSError:
         loadavg = None
+    spin_ms = _host_spin_ms()
     for _ in loader._host_batches():
         pass
     samples = []
@@ -566,6 +588,7 @@ def bench_host():
         "images/sec",
         host_cores=ncores,
         images_per_sec_per_core=round(1.0 / med / ncores, 2),
+        host_spin_ms=spin_ms,
         **({"loadavg_at_start": loadavg} if loadavg is not None else {}),
         **stats,
     )
@@ -725,6 +748,7 @@ def bench_e2e():
     except (OSError, ValueError):
         pass
     extras["host_cores"] = os.cpu_count() or 1
+    extras["host_spin_ms"] = _host_spin_ms()
     _emit("stage2_e2e_from_loader_images_per_sec", e2e, "images/sec", **extras)
 
 
@@ -740,15 +764,20 @@ def main():
     target = os.environ.get("BENCH_TARGET", "all")
     _session_roofline()  # chip-state context line first (no-op on CPU)
     if target == "all":
-        # headline LAST: the driver parses the final JSON line
+        # headline LAST: the driver parses the final JSON line. e2e runs
+        # EARLY: it is host-bound on this 1-core machine and tracks the
+        # host's minute-scale CPU variance (its host_spin_ms extra is
+        # the context); after the seven heavy benches the process's
+        # leftover heap/threads halve it (measured 36-46 late vs 68-87
+        # early at equal spin — process hygiene, not the pipeline)
         bench_host()
+        bench_e2e()
         bench_stage1()
         bench_stage1(golden=True)
         bench_stage1(fastpath=True)
         bench_stage1(fastpath=True, reuse=True)
         bench_v2()
         bench_v2(batched=True)
-        bench_e2e()
         bench_stage2()
         return
     {

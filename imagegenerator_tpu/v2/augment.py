@@ -137,24 +137,41 @@ def affine_homography(H, W, angle_deg, translate, scale=1.0):
 
 def perspective_homography(H, W, src_corners):
     """Inverse-map homography sending the output rectangle corners to
-    ``src_corners`` (4x2, order: tl, tr, br, bl, as (y, x))."""
-    dst = jnp.array(
-        [[0.0, 0.0], [0.0, W - 1.0], [H - 1.0, W - 1.0], [H - 1.0, 0.0]]
+    ``src_corners`` (4x2, order: tl, tr, br, bl, as (y, x)).
+
+    Closed form (Heckbert's unit-square-to-quad construction composed
+    with the rect->unit-square scaling) instead of an 8x8
+    ``jnp.linalg.solve``: identical matrices to f32 tolerance
+    (tested), but batched LU lowers to a serial kernel on TPU that
+    profiled at 0.6% of the whole v2 step for 32 tiny systems
+    (benchmarks/PROFILE_v2_r04.md); this is a handful of fused VPU
+    ops."""
+    # unit-square corners (u, v) = (y/(H-1), x/(W-1)): tl=(0,0),
+    # tr=(0,1), br=(1,1), bl=(1,0). Heckbert's p0..p3 walk
+    # (0,0),(1,0),(1,1),(0,1) -> ours reorder to tl, bl, br, tr.
+    q = src_corners[jnp.array([0, 3, 2, 1])]  # (4, 2) as (y, x)
+    x0, x1, x2, x3 = q[0, 0], q[1, 0], q[2, 0], q[3, 0]  # sy at corners
+    y0, y1, y2, y3 = q[0, 1], q[1, 1], q[2, 1], q[3, 1]  # sx at corners
+    sx_, sy_ = x0 - x1 + x2 - x3, y0 - y1 + y2 - y3
+    dx1, dx2 = x1 - x2, x3 - x2
+    dy1, dy2 = y1 - y2, y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    g = (sx_ * dy2 - dx2 * sy_) / den
+    h = (dx1 * sy_ - sx_ * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    f = y0
+    iu, iv = 1.0 / (H - 1.0), 1.0 / (W - 1.0)
+    return jnp.stack(
+        [
+            jnp.stack([a * iu, b * iv, c]),
+            jnp.stack([d * iu, e * iv, f]),
+            jnp.stack([g * iu, h * iv, jnp.ones_like(c)]),
+        ]
     )
-    rows = []
-    rhs = []
-    for i in range(4):
-        dy, dx = dst[i, 0], dst[i, 1]
-        sy, sx = src_corners[i, 0], src_corners[i, 1]
-        zero = 0.0 * dy
-        rows.append(jnp.stack([dy, dx, 1.0 + zero, zero, zero, zero, -sy * dy, -sy * dx]))
-        rhs.append(sy)
-        rows.append(jnp.stack([zero, zero, zero, dy, dx, 1.0 + zero, -sx * dy, -sx * dx]))
-        rhs.append(sx)
-    A = jnp.stack(rows)
-    b = jnp.stack(rhs)
-    h = jnp.linalg.solve(A, b)
-    return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
 
 
 def homography_grid(H, W, Hm):

@@ -547,7 +547,10 @@ def bench_host():
     decoded + resized + tokenized + collated through the DataLoader's
     cross-batch pipeline — no device compute. This is the feed rate the
     device-side img/s headline must be sustained by
-    (reference prefetch stack: data_loader.py:97-106 + train.py:126-132)."""
+    (reference prefetch stack: data_loader.py:97-106 + train.py:126-132).
+    Since round 4 the production loader ships resampled uint8 (normalize
+    happens on-device), so this measures the u8 path: less host work per
+    image AND 4x fewer bytes stacked/collated."""
     from imagegenerator_tpu.data import CocoCaptions, DataLoader, HashTokenizer
 
     n = int(os.environ.get("BENCH_HOST_IMAGES", "768"))
@@ -594,7 +597,10 @@ def bench_host():
     )
 
 
-def _stage2_setup(batch, dtype, unroll, precomputed, rng_impl=None, golden=False):
+def _stage2_setup(
+    batch, dtype, unroll, precomputed, rng_impl=None, golden=False,
+    image_dtype=jnp.float32,
+):
     from imagegenerator_tpu.train.stage2 import (
         Stage2Config,
         Stage2System,
@@ -616,8 +622,12 @@ def _stage2_setup(batch, dtype, unroll, precomputed, rng_impl=None, golden=False
             kt, (batch, cfg.seq_len), 0, cfg.bert.vocab_size
         ),
         "attention_mask": jnp.ones((batch, cfg.seq_len), jnp.int32),
-        "image": jax.random.uniform(
-            ki, (batch, 256, 256, 3), jnp.float32, minval=-1, maxval=1
+        "image": (
+            jax.random.randint(ki, (batch, 256, 256, 3), 0, 256, jnp.uint8)
+            if image_dtype == jnp.uint8
+            else jax.random.uniform(
+                ki, (batch, 256, 256, 3), jnp.float32, minval=-1, maxval=1
+            )
         ),
     }
     if precomputed:
@@ -701,12 +711,12 @@ def bench_e2e():
     sustained put bursts; reproduced with fresh numpy f32/bf16/uint8
     arrays, independent of pytree shape, dict nesting, GIL contention,
     or prior executions). Honest timing requires working fences, so
-    this bench necessarily runs in the degraded mode: at batch 256 the
-    f32 image payload alone (201 MB) costs ~4.5 s/batch of H2D — the
-    binding constraint. The per-image transfer bytes are therefore part
-    of what this metric measures (uint8 on-device-normalize transfer is
-    the lever; real PCIe hosts don't have this cliff). host_spin_ms
-    records the 1-core host's CPU contention as context."""
+    this bench necessarily runs in the degraded mode: the per-image
+    transfer bytes are part of what this metric measures, and since
+    round 4 the default path ships uint8 images normalized ON-DEVICE
+    (50 MB/batch instead of the f32 path's 201 — BENCH_IMAGE_DTYPE=f32
+    restores host-normalize; real PCIe hosts don't have this cliff).
+    host_spin_ms records the 1-core host's CPU contention as context."""
     import numpy as np
 
     from imagegenerator_tpu.data import CocoCaptions, DataLoader, HashTokenizer
@@ -725,13 +735,27 @@ def bench_e2e():
     )
     n_imgs = batch * nbatches
 
+    # uint8 transfer + on-device normalize (the round-4 lever the tunnel
+    # root-cause pointed at: 50 MB/batch of image payload instead of
+    # 201). BENCH_IMAGE_DTYPE=f32 restores the host-normalize path.
+    image_dtype = (
+        jnp.float32
+        if os.environ.get("BENCH_IMAGE_DTYPE", "u8") == "f32"
+        else jnp.uint8
+    )
     rng_impl = _rng_impl("rbg")  # match the headline stage-2 config
     system, state, _, compiled = _stage2_setup(
-        batch, dtype, unroll, True, rng_impl
+        batch, dtype, unroll, True, rng_impl, image_dtype=image_dtype
     )
 
     store = _build_mem_jpeg_dataset(n_imgs)
-    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=256)
+    ds = CocoCaptions(
+        store,
+        "imgs",
+        "ann/captions.json",
+        image_size=256,
+        image_dtype="uint8" if image_dtype == jnp.uint8 else "float32",
+    )
     tok = HashTokenizer(max_length=system.config.seq_len)
 
     tems = precompute_caption_embeddings(
@@ -782,6 +806,7 @@ def bench_e2e():
         pass
     extras["host_cores"] = os.cpu_count() or 1
     extras["host_spin_ms"] = _host_spin_ms()
+    extras["transfer_dtype"] = "uint8" if image_dtype == jnp.uint8 else "float32"
     extras.update(stats)
     _emit("stage2_e2e_from_loader_images_per_sec", e2e, "images/sec", **extras)
 

@@ -73,12 +73,24 @@ def get_lib() -> ctypes.CDLL | None:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
                 try:
+                    lib.resample_u8_to_u8.argtypes = [
+                        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                        u8p, ctypes.c_int, ctypes.c_int,
+                    ]
+                except AttributeError:
+                    pass  # stale pre-u8 build; callers fall back to PIL
+                try:
                     lib.decode_jpeg_resize_normalize.argtypes = [
                         u8p, ctypes.c_int64,
                         ctypes.POINTER(ctypes.c_float),
                         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ]
                     lib.decode_jpeg_resize_normalize.restype = ctypes.c_int
+                    lib.decode_jpeg_resize_u8.argtypes = [
+                        u8p, ctypes.c_int64, u8p,
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ]
+                    lib.decode_jpeg_resize_u8.restype = ctypes.c_int
                 except AttributeError:
                     pass
                 _LIB = lib
@@ -111,6 +123,46 @@ def decode_jpeg_resize_normalize(
         size, size, channels, int(fast_dct),
     )
     return out if rc == 0 else None
+
+
+def decode_jpeg_resize_u8(
+    data: bytes, size: int, channels: int = 3, fast_dct: bool = False
+) -> np.ndarray | None:
+    """JPEG bytes -> uint8 (size, size, C) resampled WITHOUT normalize —
+    the device-normalize transfer path (4x fewer H2D bytes; the step
+    normalizes on-device). The u8 rounding after the triangle resample
+    matches PIL's Resize-then-ToTensor quantization (the reference's own
+    pipeline, /root/reference/train.py:40-54). Returns None on decode
+    failure or a library without libjpeg/the u8 symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "decode_jpeg_resize_u8"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((size, size, channels), np.uint8)
+    rc = lib.decode_jpeg_resize_u8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size, size, channels, int(fast_dct),
+    )
+    return out if rc == 0 else None
+
+
+def resize_u8(img_u8: np.ndarray, size: int) -> np.ndarray | None:
+    """uint8 HWC -> uint8 (size, size, C), antialiased triangle resample
+    with PIL's u8 rounding. None when the loaded library predates the
+    u8 entry points (callers fall back to PIL)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "resample_u8_to_u8"):
+        return None
+    img_u8 = np.ascontiguousarray(img_u8)
+    h, w, c = img_u8.shape
+    out = np.empty((size, size, c), np.uint8)
+    lib.resample_u8_to_u8(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size, size,
+    )
+    return out
 
 
 def resize_normalize(img_u8: np.ndarray, size: int) -> np.ndarray:

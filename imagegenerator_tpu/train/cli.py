@@ -113,6 +113,16 @@ def get_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the training "
                         "run into this directory (view with xprof / "
                         "TensorBoard's profile plugin)")
+    p.add_argument("--image_dtype", choices=["uint8", "float32"],
+                   default="uint8",
+                   help="loader->device image transfer dtype. uint8 "
+                        "(default): the loader ships resampled bytes and "
+                        "the train step normalizes to [-1,1] ON-DEVICE — "
+                        "4x fewer host->device bytes, and the same "
+                        "quantization the reference's PIL Resize(u8) -> "
+                        "ToTensor chain applies (train.py:40-54). float32: "
+                        "host-side normalize (more precise than the "
+                        "reference, 4x the transfer bytes)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (stage 1): shards the "
                         "in-step BERT Megatron-style over a 2-D "
@@ -217,6 +227,7 @@ def main(argv=None):
         image_size=cfg.resolution,
         host_index=jax.process_index(),
         host_count=host_count,
+        image_dtype=args.image_dtype,
     )
     if args.tokenizer:
         from imagegenerator_tpu.data.tokenizer import HFTokenizer

@@ -317,6 +317,12 @@ class Stage1System:
         tokens = batch["input_ids"]
         mask = batch["attention_mask"]
         real = batch["image"]
+        if real.dtype == jnp.uint8:
+            # Device-side normalize: the loader ships resampled uint8
+            # (4x fewer H2D bytes than f32) and the step maps it to
+            # [-1, 1] here — same formula the host normalize fuses
+            # (native/host_ops.cpp kScale), traced statically on dtype.
+            real = real.astype(jnp.float32) * (2.0 / 255.0) - 1.0
         bsz = tokens.shape[0]
 
         def pmean(tree):

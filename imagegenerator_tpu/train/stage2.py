@@ -336,6 +336,12 @@ class Stage2System:
         {'tem': (B, tem_size), 'image': ...}."""
         c = self.config
         real = batch["image"]
+        if real.dtype == jnp.uint8:
+            # Device-side normalize: the loader ships resampled uint8
+            # (4x fewer H2D bytes than f32) and the step maps it to
+            # [-1, 1] here — same formula the host normalize fuses
+            # (native/host_ops.cpp kScale), traced statically on dtype.
+            real = real.astype(jnp.float32) * (2.0 / 255.0) - 1.0
         bsz = real.shape[0]
 
         def pmean(tree):

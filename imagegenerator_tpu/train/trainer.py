@@ -164,9 +164,12 @@ class Stage2Trainer:
                 ):
                     fake = self.system.sample(state, batch, sample_key)
                     self.writer.images(gstep, "fake_256", np.asarray(fake))
-                    self.writer.images(
-                        gstep, "real_256", np.asarray(batch["image"])
-                    )
+                    real_img = np.asarray(batch["image"])
+                    if real_img.dtype == np.uint8:
+                        # uint8 transfer path: normalize for display the
+                        # same way the step does on-device
+                        real_img = real_img.astype(np.float32) * (2 / 255) - 1
+                    self.writer.images(gstep, "real_256", real_img)
                 gstep += 1
             if self.ckpt is not None and self.ckpt.should_save(epoch):
                 self.ckpt.save(epoch, jax.device_get(state))

@@ -81,10 +81,33 @@ ResampleCoeffs triangle_coeffs(int in_size, int out_size) {
   return rc;
 }
 
-// HWC uint8 -> HWC float32 in [-1, 1] with the triangle resample.
-void resample_normalize_one(const uint8_t* src, int sh, int sw, int channels,
-                            float* dst, int th, int tw) {
-  constexpr float kScale = 2.0f / 255.0f;
+// Output writers for the vertical pass: f32 fuses the [-1, 1]
+// normalize; u8 rounds back to bytes (PIL's own u8 resample output —
+// (int)(v + 0.5) with clamp — so the uint8 path matches the reference's
+// ToTensor-after-Resize quantization exactly; transferring u8 to the
+// device and normalizing there is 4x fewer H2D bytes).
+struct WriteNormalizedF32 {
+  static void write(const float* acc, float* dst, int n) {
+    constexpr float kScale = 2.0f / 255.0f;
+    for (int i = 0; i < n; ++i) dst[i] = acc[i] * kScale - 1.0f;
+  }
+};
+
+struct WriteRoundedU8 {
+  static void write(const float* acc, uint8_t* dst, int n) {
+    for (int i = 0; i < n; ++i) {
+      const float v = acc[i] + 0.5f;
+      dst[i] = static_cast<uint8_t>(
+          v <= 0.0f ? 0 : (v >= 255.0f ? 255 : static_cast<int>(v)));
+    }
+  }
+};
+
+// HWC uint8 -> HWC resampled output (triangle filter, PIL BILINEAR
+// semantics); OutT/Writer select f32-normalized or u8-rounded output.
+template <typename OutT, typename Writer>
+void resample_one(const uint8_t* src, int sh, int sw, int channels,
+                  OutT* dst, int th, int tw) {
   const ResampleCoeffs cx = triangle_coeffs(sw, tw);
   const ResampleCoeffs cy = triangle_coeffs(sh, th);
 
@@ -105,23 +128,33 @@ void resample_normalize_one(const uint8_t* src, int sh, int sw, int channels,
       }
     }
   }
-  // vertical pass: (sh, tw, c) f32 -> (th, tw, c) f32, fused normalize
+  // vertical pass: (sh, tw, c) f32 -> (th, tw, c) OutT
   const int row_elems = tw * channels;
+  std::vector<float> acc_row(row_elems);
   for (int y = 0; y < th; ++y) {
     const int ymin = cy.bounds[y * 2];
     const int cnt = cy.bounds[y * 2 + 1];
     const float* w = cy.weights.data() + static_cast<size_t>(y) * cy.kmax;
-    float* out_row = dst + static_cast<int64_t>(y) * row_elems;
-    std::memset(out_row, 0, sizeof(float) * row_elems);
+    std::memset(acc_row.data(), 0, sizeof(float) * row_elems);
     for (int k = 0; k < cnt; ++k) {
       const float wk = w[k];
       const float* in_row =
           tmp.data() + static_cast<int64_t>(ymin + k) * row_elems;
-      for (int i = 0; i < row_elems; ++i) out_row[i] += wk * in_row[i];
+      for (int i = 0; i < row_elems; ++i) acc_row[i] += wk * in_row[i];
     }
-    for (int i = 0; i < row_elems; ++i)
-      out_row[i] = out_row[i] * kScale - 1.0f;
+    Writer::write(acc_row.data(), dst + static_cast<int64_t>(y) * row_elems,
+                  row_elems);
   }
+}
+
+void resample_normalize_one(const uint8_t* src, int sh, int sw, int channels,
+                            float* dst, int th, int tw) {
+  resample_one<float, WriteNormalizedF32>(src, sh, sw, channels, dst, th, tw);
+}
+
+void resample_u8_one(const uint8_t* src, int sh, int sw, int channels,
+                     uint8_t* dst, int th, int tw) {
+  resample_one<uint8_t, WriteRoundedU8>(src, sh, sw, channels, dst, th, tw);
 }
 
 // ---------------------------------------------------------------------
@@ -139,8 +172,10 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 
 // Decode JPEG bytes, optionally with DCT-domain scaling so the decoded
 // image is the smallest 1/1..1/8 scale still >= (th, tw) on both axes,
-// then triangle-resample + normalize into dst. Returns 0 on success.
-int decode_jpeg_impl(const uint8_t* data, int64_t len, float* dst, int th,
+// then triangle-resample into dst (f32 normalized or u8 rounded,
+// selected by OutT/Writer). Returns 0 on success.
+template <typename OutT, typename Writer>
+int decode_jpeg_impl(const uint8_t* data, int64_t len, OutT* dst, int th,
                      int tw, int channels, int fast_dct) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -183,11 +218,12 @@ int decode_jpeg_impl(const uint8_t* data, int64_t len, float* dst, int th,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   if (dc != channels) return 3;
-  resample_normalize_one(buf.data(), dh, dw, channels, dst, th, tw);
+  resample_one<OutT, Writer>(buf.data(), dh, dw, channels, dst, th, tw);
   return 0;
 }
 #else
-int decode_jpeg_impl(const uint8_t*, int64_t, float*, int, int, int, int) {
+template <typename OutT, typename Writer>
+int decode_jpeg_impl(const uint8_t*, int64_t, OutT*, int, int, int, int) {
   return -1;  // built without libjpeg
 }
 #endif  // HOST_OPS_NO_JPEG
@@ -217,7 +253,25 @@ void resize_normalize_u8_to_f32(const uint8_t* src, int sh, int sw,
 int decode_jpeg_resize_normalize(const uint8_t* data, int64_t len,
                                  float* dst, int th, int tw, int channels,
                                  int fast_dct) {
-  return decode_jpeg_impl(data, len, dst, th, tw, channels, fast_dct);
+  return decode_jpeg_impl<float, WriteNormalizedF32>(data, len, dst, th, tw,
+                                                     channels, fast_dct);
+}
+
+// JPEG bytes -> (th, tw, channels) uint8 (resampled, NOT normalized):
+// the device-normalize transfer path — 4x fewer host->device bytes, and
+// the u8 quantization after resample is exactly the reference's
+// PIL-Resize-then-ToTensor pipeline (resize outputs a u8 image).
+int decode_jpeg_resize_u8(const uint8_t* data, int64_t len, uint8_t* dst,
+                          int th, int tw, int channels, int fast_dct) {
+  return decode_jpeg_impl<uint8_t, WriteRoundedU8>(data, len, dst, th, tw,
+                                                   channels, fast_dct);
+}
+
+// uint8 HWC -> resampled uint8 (th, tw, channels) (PIL BILINEAR + PIL
+// u8 rounding), for the non-JPEG decode-on-host / resample-native path.
+void resample_u8_to_u8(const uint8_t* src, int sh, int sw, int channels,
+                       uint8_t* dst, int th, int tw) {
+  resample_u8_one(src, sh, sw, channels, dst, th, tw);
 }
 
 // srcs: array of N pointers to HWC uint8 images with per-image shapes

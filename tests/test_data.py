@@ -50,13 +50,38 @@ def test_build_manifest(store):
     assert m[0].caption == "a red square" and m[0].file_name == "img1.png"
 
 
-def test_dataset_item(store):
+def test_dataset_item_uint8_default(store):
+    # default transfer dtype is uint8 (device-side normalize path)
     ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=64)
+    caption, img = ds[0]
+    assert caption == "a red square"
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert img[..., 0].mean() > 254 and img[..., 1].mean() < 1
+
+
+def test_dataset_item_float32(store):
+    ds = CocoCaptions(
+        store, "imgs", "ann/captions.json", image_size=64, image_dtype="float32"
+    )
     caption, img = ds[0]
     assert caption == "a red square"
     assert img.shape == (64, 64, 3) and img.dtype == np.float32
     # pure red normalized: R ~ +1, G/B ~ -1
     assert img[..., 0].mean() > 0.99 and img[..., 1].mean() < -0.99
+
+
+def test_dataset_uint8_matches_float32_to_quantization(store):
+    # normalize(u8 path) must equal the f32 path up to the u8
+    # quantization step (0.5 * 2/255) — the same rounding the
+    # reference's PIL Resize(u8 output) -> ToTensor chain applies
+    ds8 = CocoCaptions(store, "imgs", "ann/captions.json", image_size=48)
+    dsf = CocoCaptions(
+        store, "imgs", "ann/captions.json", image_size=48, image_dtype="float32"
+    )
+    _, img8 = ds8[0]
+    _, imgf = dsf[0]
+    norm8 = img8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    assert np.abs(norm8 - imgf).max() <= 0.5 * 2.0 / 255.0 + 1e-6
 
 
 def test_host_sharding(store):

@@ -130,6 +130,54 @@ def test_decode_path_default_is_fast_dct(monkeypatch):
     )
 
 
+def test_resize_u8_matches_pil_bytes():
+    """The u8-output resample (the device-normalize transfer path) must
+    match PIL's own u8 Resize output closely — PIL quantizes to u8 after
+    the same triangle filter, so both paths round the same float values
+    (PIL's 8-bit fixed-point weights allow a couple levels of drift)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+    got = native.resize_u8(img, 64)
+    if got is None:
+        pytest.skip("host_ops built without the u8 entry points")
+    want = np.asarray(
+        Image.fromarray(img).resize((64, 64), Image.BILINEAR), np.uint8
+    )
+    assert got.shape == (64, 64, 3) and got.dtype == np.uint8
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 3
+
+
+def test_resize_u8_quantizes_the_f32_path():
+    """normalize(resize_u8(x)) == round-to-u8 of resize_normalize(x):
+    the u8 path is exactly the f32 path plus the reference's
+    Resize->ToTensor quantization, nothing else."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (123, 77, 3), dtype=np.uint8)
+    u8 = native.resize_u8(img, 48)
+    if u8 is None:
+        pytest.skip("host_ops built without the u8 entry points")
+    f32 = native.resize_normalize(img, 48)
+    # invert the normalize, round the way the C++ writer does
+    levels = (f32 + 1.0) * (255.0 / 2.0)
+    expect = np.clip(np.floor(levels + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8, expect)
+
+
+def test_decode_jpeg_u8_matches_f32_decode():
+    """In-C++ JPEG decode with u8 output vs f32 output: same decode +
+    resample, differing only by the final quantization."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, (320, 480, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    u8 = native.decode_jpeg_resize_u8(buf.getvalue(), 96)
+    if u8 is None:
+        pytest.skip("host_ops built without libjpeg/u8 entry points")
+    f32 = native.decode_jpeg_resize_normalize(buf.getvalue(), 96)
+    norm8 = u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    assert np.abs(norm8 - f32).max() <= 0.5 * 2.0 / 255.0 + 1e-6
+
+
 def test_batch_resize_normalize():
     rng = np.random.default_rng(5)
     imgs = [

@@ -83,6 +83,38 @@ def test_sample_shape(system):
     assert np.asarray(out).min() >= -1.0 and np.asarray(out).max() <= 1.0
 
 
+def test_uint8_batch_matches_host_normalized(system):
+    """uint8 transfer path: feeding resampled bytes and normalizing
+    on-device must match feeding the host-normalized f32 of the same
+    bytes — same formula (u8 * 2/255 - 1), so only WHERE the multiply
+    runs changes. XLA fuses the multiply-subtract into an FMA while
+    numpy rounds between them, so the normalized pixels can differ by
+    one f32 ULP; losses must agree to that rounding, nothing more."""
+    state = system.init(jax.random.key(0), B)
+    batch = _make_batch(jax.random.key(1), system.config)
+    img_u8 = jax.random.randint(
+        jax.random.key(7),
+        (B, system.config.resolution, system.config.resolution, 3),
+        0,
+        256,
+        jnp.uint8,
+    )
+    step = make_train_step(system, donate=False)
+
+    batch_u8 = dict(batch, image=img_u8)
+    _, m_u8 = step(state, batch_u8, jax.random.key(2))
+
+    norm = np.asarray(img_u8).astype(np.float32) * (2.0 / 255.0) - 1.0
+    state2 = system.init(jax.random.key(0), B)
+    batch_f32 = dict(batch, image=jnp.asarray(norm))
+    _, m_f32 = step(state2, batch_f32, jax.random.key(2))
+
+    for k in ("loss_critic", "loss_gen", "gp", "kl"):
+        np.testing.assert_allclose(
+            np.asarray(m_u8[k]), np.asarray(m_f32[k]), rtol=1e-5, err_msg=k
+        )
+
+
 def test_precomputed_tem_matches_tokens(system):
     """Feeding batch['tem'] (precomputed via embed_texts) must produce the
     SAME step as the token path — the frozen encoder makes them equal."""

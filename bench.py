@@ -216,40 +216,25 @@ def _mfu_extras(compiled, per_exec_seconds: float, steps_per_exec: int = 1) -> d
     return extras
 
 
-def bench_v2(batched: bool = False):
-    """VQGAN-CLIP latent-opt steps/sec: full-size f16-16384 VQGAN +
-    ViT-B/32 (random-init weights — same FLOPs as published ckpts),
-    128x128 image, 32 cutouts, Adam on z — the reference's default
-    workload (arg_parser.py defaults). BENCH_CHAIN (= display_freq)
-    iterations run as ONE dispatch via lax.scan, exactly like the
-    production ``GenerateEngine.run`` driver: the ~12 ms single step was
-    dispatch-latency-exposed over the tunnel, which is why the round-2
-    single-step numbers didn't reproduce (VERDICT.md weak #1).
-
-    ``batched=True`` (or BENCH_BATCH>1) runs B prompts in one step — the
-    multi-prompt packing shape of BASELINE.json config 5 — and reports
-    prompt-steps/sec under its own metric name, so the "packing is
-    throughput-neutral" claim is driver-captured instead of prose
-    (VERDICT.md round-3 next #6)."""
+def _v2_setup(batch, chain, rng_impl, dtype=None):
+    """Build the BENCH_V2-shaped workload: full-size f16-16384 VQGAN +
+    ViT-B/32 engine, ``batch`` prompt sets, ``chain`` iterations
+    AOT-compiled as ONE dispatch. Shared by bench_v2 and
+    tools/profile_opclass.py so the profile always traces exactly the
+    workload the headline measures. Returns (engine, compiled, state,
+    (vq_params, clip_params, embeds, weights, stops), key_fn)."""
     import numpy as np
 
     from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
     from imagegenerator_tpu.v2.engine import GenerateEngine
     from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
 
-    chain = int(os.environ.get("BENCH_CHAIN", "20"))
-    batch = int(os.environ.get("BENCH_BATCH", "4" if batched else "1"))
-    dtype = (
-        jnp.bfloat16
-        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
-        else jnp.float32
-    )
-    # typed keys carry their impl, so the run key's PRNG governs EVERY
-    # in-step draw (cutout geometry, augmentation bits, per-pixel noise
-    # normals); BENCH_RNG overrides (same semantics as the train benches).
-    # rbg is the headline default, matching the training headline policy:
-    # same math, different noise bitstream, measured ~1% faster
-    rng_impl = _rng_impl("rbg")
+    if dtype is None:
+        dtype = (
+            jnp.bfloat16
+            if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+            else jnp.float32
+        )
 
     def _key(i):
         return _bench_key(i, rng_impl)
@@ -293,6 +278,35 @@ def bench_v2(batched: bool = False):
         engine, vq_params, clip_params, state, chain, _key(3),
         embeds, weights, stops,
     ).compile()
+    return engine, compiled, state, (vq_params, clip_params, embeds, weights, stops), _key
+
+
+def bench_v2(batched: bool = False):
+    """VQGAN-CLIP latent-opt steps/sec: full-size f16-16384 VQGAN +
+    ViT-B/32 (random-init weights — same FLOPs as published ckpts),
+    128x128 image, 32 cutouts, Adam on z — the reference's default
+    workload (arg_parser.py defaults). BENCH_CHAIN (= display_freq)
+    iterations run as ONE dispatch via lax.scan, exactly like the
+    production ``GenerateEngine.run`` driver: the ~12 ms single step was
+    dispatch-latency-exposed over the tunnel, which is why the round-2
+    single-step numbers didn't reproduce (VERDICT.md weak #1).
+
+    ``batched=True`` (or BENCH_BATCH>1) runs B prompts in one step — the
+    multi-prompt packing shape of BASELINE.json config 5 — and reports
+    prompt-steps/sec under its own metric name, so the "packing is
+    throughput-neutral" claim is driver-captured instead of prose
+    (VERDICT.md round-3 next #6)."""
+    chain = int(os.environ.get("BENCH_CHAIN", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if batched else "1"))
+    # typed keys carry their impl, so the run key's PRNG governs EVERY
+    # in-step draw (cutout geometry, augmentation bits, per-pixel noise
+    # normals); BENCH_RNG overrides (same semantics as the train benches).
+    # rbg is the headline default, matching the training headline policy:
+    # same math, different noise bitstream, measured ~1% faster
+    rng_impl = _rng_impl("rbg")
+    _, compiled, state, (vq_params, clip_params, embeds, weights, stops), _key = (
+        _v2_setup(batch, chain, rng_impl)
+    )
 
     state, losses = compiled(
         vq_params, clip_params, state, _key(3), embeds, weights, stops
@@ -320,9 +334,12 @@ def bench_v2(batched: bool = False):
     # once, not trip-count times — verified: the chain executable reports
     # the same ~719 GFLOP as one unchained step — so flops are already
     # per-iteration and pair with the per-step time. Under
-    # IMAGEGEN_CHAIN_UNROLL>1 the counted body holds ``unroll``
-    # iterations; steps_per_exec rescales to per-iteration.
+    # IMAGEGEN_CHAIN_UNROLL>1 the counted flops hold ``unroll``
+    # iterations PLUS the chain%unroll remainder lax.scan unrolls
+    # outside the loop (and the whole chain when unroll >= chain);
+    # steps_per_exec rescales by the actually-counted iterations.
     unroll = max(1, int(os.environ.get("IMAGEGEN_CHAIN_UNROLL", "1")))
+    counted = chain if unroll >= chain else unroll + chain % unroll
     name = (
         "vqgan_clip_batched_steps_per_sec"
         if batch > 1
@@ -335,7 +352,7 @@ def bench_v2(batched: bool = False):
         chain=chain,
         batch=batch,
         **stats,
-        **_mfu_extras(compiled, med * unroll, steps_per_exec=unroll),
+        **_mfu_extras(compiled, med * counted, steps_per_exec=counted),
     )
 
 
@@ -357,11 +374,10 @@ def _timed_step_windows(compiled, state, data, steps, rng_impl=None):
 def _bench_key(seed: int, impl: str | None = None):
     """Step key with an explicit PRNG impl ('rbg' is the fast
     deterministic alternative to threefry — the key array carries its
-    impl, so the step lowers for whichever is passed). BENCH_RNG
-    overrides when set and non-empty ('threefry' forces the default)."""
-    env = os.environ.get("BENCH_RNG")
-    if env is not None and env != "":
-        impl = None if env == "threefry" else env
+    impl, so the step lowers for whichever is passed). ``impl`` must be
+    the ALREADY-RESOLVED value from ``_rng_impl`` (which applies the
+    BENCH_RNG override exactly once); this function does not re-read the
+    environment."""
     return jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
 
 
@@ -836,7 +852,11 @@ def main():
         bench_stage1(fastpath=True)
         bench_stage1(fastpath=True, reuse=True)
         bench_v2()
-        bench_v2(batched=True)
+        # BENCH_BATCH>1 makes bench_v2() itself the batched shape (the
+        # metric name follows the effective batch) — running the batched
+        # variant again would emit the SAME metric name twice
+        if int(os.environ.get("BENCH_BATCH", "1")) == 1:
+            bench_v2(batched=True)
         bench_stage2()
         return
     {

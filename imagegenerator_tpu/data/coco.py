@@ -85,11 +85,16 @@ def decode_resize_u8(data: bytes, size: int) -> np.ndarray:
     """JPEG/PNG bytes -> uint8 NHWC image at (size, size), resampled but
     NOT normalized — the device-normalize transfer path: the train step
     maps uint8 to [-1, 1] on-device (stage1/stage2 ``train_step``), so
-    each image crosses the host->device link at 1/4 the f32 bytes. The
-    u8 quantization after the resample is exactly what the reference's
-    PIL ``Resize`` (u8 output) -> ``ToTensor`` chain produces
-    (``/root/reference/train.py:40-54``) — the f32 path is the MORE
-    precise variant, not this one the less faithful."""
+    each image crosses the host->device link at 1/4 the f32 bytes.
+
+    Deliberate divergence, like the antialias policy (SURVEY.md §3.4):
+    the reference applies ``ToTensor()`` BEFORE ``Resize``
+    (``/root/reference/train.py:40-54``), i.e. resamples float tensors
+    and never re-quantizes, so this path's <=0.5/255 per-pixel
+    quantization after the resample has no reference counterpart — it
+    is the standard TPU input-pipeline trade (bytes over the link,
+    normalize on device). ``image_dtype='float32'`` keeps the
+    quantization-free path."""
     from imagegenerator_tpu.data import native
 
     if data[:2] == b"\xff\xd8" and native.available():
@@ -129,10 +134,11 @@ class CocoCaptions:
         self.root = root.rstrip("/")
         self.image_size = image_size
         # uint8 (default): resampled bytes, normalized ON-DEVICE by the
-        # train step — 4x fewer H2D bytes and less host work; matches
-        # the reference's PIL-Resize(u8)->ToTensor quantization.
-        # float32: host-side normalize (higher precision than the
-        # reference; the pre-round-4 behavior).
+        # train step — 4x fewer H2D bytes and less host work, at the
+        # cost of <=0.5/255 post-resample quantization the reference
+        # (float-tensor Resize) doesn't apply — see decode_resize_u8.
+        # float32: host-side normalize, quantization-free (the
+        # pre-round-4 behavior).
         self.image_dtype = image_dtype
         full = build_manifest(store, ann_file)
         # contiguous per-host shard (drop the ragged tail so every host

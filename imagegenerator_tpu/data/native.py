@@ -131,9 +131,11 @@ def decode_jpeg_resize_u8(
     """JPEG bytes -> uint8 (size, size, C) resampled WITHOUT normalize —
     the device-normalize transfer path (4x fewer H2D bytes; the step
     normalizes on-device). The u8 rounding after the triangle resample
-    matches PIL's Resize-then-ToTensor quantization (the reference's own
-    pipeline, /root/reference/train.py:40-54). Returns None on decode
-    failure or a library without libjpeg/the u8 symbol."""
+    uses PIL's u8-output convention ((int)(v + 0.5), clamped); note the
+    reference itself resamples float tensors (ToTensor before Resize,
+    /root/reference/train.py:40-48) — the quantization here is a
+    deliberate transfer-width trade, not reference parity. Returns None
+    on decode failure or a library without libjpeg/the u8 symbol."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "decode_jpeg_resize_u8"):
         return None

@@ -118,11 +118,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="loader->device image transfer dtype. uint8 "
                         "(default): the loader ships resampled bytes and "
                         "the train step normalizes to [-1,1] ON-DEVICE — "
-                        "4x fewer host->device bytes, and the same "
-                        "quantization the reference's PIL Resize(u8) -> "
-                        "ToTensor chain applies (train.py:40-54). float32: "
-                        "host-side normalize (more precise than the "
-                        "reference, 4x the transfer bytes)")
+                        "4x fewer host->device bytes at <=0.5/255 "
+                        "post-resample quantization (the reference "
+                        "resamples float tensors — ToTensor before "
+                        "Resize, train.py:40-48 — so this is a transfer-"
+                        "width trade, not parity). float32: host-side "
+                        "normalize, quantization-free, 4x the bytes")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (stage 1): shards the "
                         "in-step BERT Megatron-style over a 2-D "

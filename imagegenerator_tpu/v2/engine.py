@@ -272,11 +272,11 @@ class GenerateEngine:
             if do_checkin:
                 checkin(i, np.asarray(imgs), np.asarray(losses))
             if i >= iterations:
+                # the final chain's progress was flushed above on this
+                # pass (pending only becomes None after the flush), so
+                # nothing is left to report
                 break
             i += n
-        if pending is not None and progress is not None:
-            done, dev_losses = pending
-            progress(done, iterations, np.asarray(dev_losses))
         return state
 
 

@@ -82,10 +82,11 @@ ResampleCoeffs triangle_coeffs(int in_size, int out_size) {
 }
 
 // Output writers for the vertical pass: f32 fuses the [-1, 1]
-// normalize; u8 rounds back to bytes (PIL's own u8 resample output —
-// (int)(v + 0.5) with clamp — so the uint8 path matches the reference's
-// ToTensor-after-Resize quantization exactly; transferring u8 to the
-// device and normalizing there is 4x fewer H2D bytes).
+// normalize; u8 rounds back to bytes with PIL's u8-output convention —
+// (int)(v + 0.5), clamped. Transferring u8 to the device and
+// normalizing there is 4x fewer H2D bytes; the <=0.5-level rounding is
+// a deliberate trade (the reference resamples float tensors —
+// ToTensor before Resize — and never re-quantizes).
 struct WriteNormalizedF32 {
   static void write(const float* acc, float* dst, int n) {
     constexpr float kScale = 2.0f / 255.0f;
@@ -258,9 +259,8 @@ int decode_jpeg_resize_normalize(const uint8_t* data, int64_t len,
 }
 
 // JPEG bytes -> (th, tw, channels) uint8 (resampled, NOT normalized):
-// the device-normalize transfer path — 4x fewer host->device bytes, and
-// the u8 quantization after resample is exactly the reference's
-// PIL-Resize-then-ToTensor pipeline (resize outputs a u8 image).
+// the device-normalize transfer path — 4x fewer host->device bytes at
+// <=0.5 levels of post-resample rounding (see WriteRoundedU8 note).
 int decode_jpeg_resize_u8(const uint8_t* data, int64_t len, uint8_t* dst,
                           int th, int tw, int channels, int fast_dct) {
   return decode_jpeg_impl<uint8_t, WriteRoundedU8>(data, len, dst, th, tw,

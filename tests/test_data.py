@@ -72,8 +72,8 @@ def test_dataset_item_float32(store):
 
 def test_dataset_uint8_matches_float32_to_quantization(store):
     # normalize(u8 path) must equal the f32 path up to the u8
-    # quantization step (0.5 * 2/255) — the same rounding the
-    # reference's PIL Resize(u8 output) -> ToTensor chain applies
+    # quantization step (0.5 * 2/255) — the one rounding the uint8
+    # transfer path adds on top of the shared resample
     ds8 = CocoCaptions(store, "imgs", "ann/captions.json", image_size=48)
     dsf = CocoCaptions(
         store, "imgs", "ann/captions.json", image_size=48, image_dtype="float32"

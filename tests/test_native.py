@@ -149,8 +149,8 @@ def test_resize_u8_matches_pil_bytes():
 
 def test_resize_u8_quantizes_the_f32_path():
     """normalize(resize_u8(x)) == round-to-u8 of resize_normalize(x):
-    the u8 path is exactly the f32 path plus the reference's
-    Resize->ToTensor quantization, nothing else."""
+    the u8 path is exactly the f32 path plus one PIL-convention
+    rounding to bytes, nothing else."""
     rng = np.random.default_rng(8)
     img = rng.integers(0, 255, (123, 77, 3), dtype=np.uint8)
     u8 = native.resize_u8(img, 48)

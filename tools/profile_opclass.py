@@ -30,47 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture_v2(out_dir: str, rng_impl: str | None, chain: int, batch: int):
-    """Trace BENCH_V2-shaped chained dispatches (the production path)."""
+    """Trace BENCH_V2-shaped chained dispatches (the production path).
+
+    The workload is built by ``bench._v2_setup`` — the SAME builder the
+    headline bench uses — so the profile cannot drift from what
+    ``vqgan_clip_latent_opt_steps_per_sec`` measures."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
-    from imagegenerator_tpu.v2.engine import GenerateEngine
-    from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
+    import bench
 
-    vq_cfg = VQGANConfig.imagenet_f16_16384()
-    clip_cfg = CLIPConfig.vit_b32()
-    vq_params = jax.jit(
-        lambda k: VQModel(vq_cfg).init(k, jnp.zeros((1, 256, 256, 3)))["params"]
-    )(jax.random.key(0))
-    clip_params = jax.jit(
-        lambda k: CLIP(clip_cfg).init(
-            k, jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
-        )["params"]
-    )(jax.random.key(1))
-    engine = GenerateEngine(
-        vqgan_config=vq_cfg, clip_config=clip_cfg, vqgan_params=vq_params,
-        clip_params=clip_params, cutn=32, step_size=0.1,
-        compute_dtype=jnp.bfloat16,
+    _, compiled, state, (vq_params, clip_params, embeds, weights, stops), key = (
+        bench._v2_setup(batch, chain, rng_impl)
     )
-    h = w = 128 // vq_cfg.f
-    z = engine.random_token_latent(jax.random.key(2), batch, h, w)
-    state = engine.init_state(z)
-    embeds = jnp.zeros((batch, 1, clip_cfg.embed_dim))
-    weights = jnp.ones((batch, 1))
-    stops = jnp.full((batch, 1), -np.inf)
-
-    def key(i):
-        return (
-            jax.random.key(i, impl=rng_impl) if rng_impl else jax.random.key(i)
-        )
-
-    chain_fn = type(engine)._chain_impl
-    compiled = chain_fn.lower(
-        engine, vq_params, clip_params, state, chain, key(3),
-        embeds, weights, stops,
-    ).compile()
     state, losses = compiled(vq_params, clip_params, state, key(3),
                              embeds, weights, stops)
     jax.block_until_ready(losses)
@@ -146,14 +117,15 @@ def classify(rows, executions: int | None):
     def f(v):
         return float(v) if v not in (None, "") else 0.0
 
+    # column names vary slightly across xprof versions; check BEFORE
+    # filtering on the column (filtering first would just drop every
+    # row and print an empty "0.00 ms" table instead of erroring)
+    if rows and "Total self-time (us)" not in rows[0]:
+        raise SystemExit(f"unexpected columns: {list(rows[0].keys())}")
     dev = [r for r in rows
            if str(r.get("Host/device", "")).lower() in ("device", "tpu")
            and f(r.get("Total self-time (us)")) > 0
            and (r.get("Operation Name") or "") != "IDLE"]
-    # column names vary slightly across xprof versions; resolve once
-    if dev and "Total self-time (us)" not in dev[0]:
-        keys = list(dev[0].keys())
-        raise SystemExit(f"unexpected columns: {keys}")
     total = sum(f(r["Total self-time (us)"]) for r in dev)
     by_class: dict[str, list] = {}
     for r in dev:
@@ -186,8 +158,12 @@ def main():
     ap.add_argument("--workload", default="v2", choices=["v2"])
     ap.add_argument("--xplane", default=None,
                     help="parse an existing trace dir instead of capturing")
-    ap.add_argument("--rng_impl", default=None, choices=[None, "rbg"],
-                    help="PRNG impl for the step keys (v2 capture)")
+    ap.add_argument("--rng_impl", default="rbg",
+                    choices=["threefry", "rbg"],
+                    help="PRNG impl for the step keys (v2 capture); "
+                         "default rbg = the bench_v2 headline config, so "
+                         "the default profile traces the same workload "
+                         "the headline measures")
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--keep", default=None,
@@ -198,7 +174,8 @@ def main():
         classify(parse_opstats(args.xplane), None)
         return
     out_dir = args.keep or tempfile.mkdtemp(prefix="opclass_")
-    execs = capture_v2(out_dir, args.rng_impl, args.chain, args.batch)
+    rng_impl = None if args.rng_impl == "threefry" else args.rng_impl
+    execs = capture_v2(out_dir, rng_impl, args.chain, args.batch)
     classify(parse_opstats(out_dir), execs)
 
 

@@ -411,36 +411,17 @@ def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla"):
     return cfg
 
 
-def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = False):
-    """Stage-I 64px train step (BASELINE.json configs 1-2): full text
-    encoder fine-tuning inside the GAN step, n_critic=5, images/sec/chip.
-
-    Variants (VERDICT.md round-3 next #2 — the headline is the FASTEST
-    config whose function semantics are identical to HF SpanBERT):
-
-    * default (headline): exact-erf GELU + fused Pallas attention + rbg
-      step keys. Only the dropout/noise BITSTREAMS differ from
-      threefry/XLA — and no JAX bitstream was ever faithful to the
-      reference's torch CPU-generator noise (stage_1_train_fn.py:98-106),
-      so bitstream identity is a regression-test concern, not a
-      benchmark one.
-    * ``golden=True``: exact GELU + XLA attention + threefry — the
-      bitstream-pinned config the goldens/tests pin, kept as its own
-      metric for regression tracking.
-    * ``fastpath=True``: + tanh GELU (the approximation, ~1e-3 off) —
-      the recommended from-scratch-training setting.
-    * ``reuse=True``: + mismatched pairs share the matched-caption
-      embeddings (tem_mis = tem[perm], halves the text-encoder FLOPs —
-      semantics note in Stage1Config).
-    """
+def _stage1_setup(batch, fastpath=False, reuse=False, golden=False):
+    """Build + AOT-compile the stage-1 train step for a bench variant
+    (headline / fastpath / reuse / golden — see bench_stage1). Shared
+    with tools/profile_opclass.py so training profiles trace exactly the
+    benched workloads. Returns (rng_impl, state, data, compiled)."""
     from imagegenerator_tpu.train.stage1 import (
         Stage1Config,
         Stage1System,
         make_train_step,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
     unroll = int(os.environ.get("BENCH_UNROLL", "5"))
     dtype = (
         jnp.bfloat16
@@ -481,6 +462,36 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = Fal
     }
     step = make_train_step(system, donate=True)
     compiled = step.lower(state, data, _bench_key(2, rng_impl)).compile()
+    return rng_impl, state, data, compiled
+
+
+def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = False):
+    """Stage-I 64px train step (BASELINE.json configs 1-2): full text
+    encoder fine-tuning inside the GAN step, n_critic=5, images/sec/chip.
+
+    Variants (VERDICT.md round-3 next #2 — the headline is the FASTEST
+    config whose function semantics are identical to HF SpanBERT):
+
+    * default (headline): exact-erf GELU + fused Pallas attention + rbg
+      step keys. Only the dropout/noise BITSTREAMS differ from
+      threefry/XLA — and no JAX bitstream was ever faithful to the
+      reference's torch CPU-generator noise (stage_1_train_fn.py:98-106),
+      so bitstream identity is a regression-test concern, not a
+      benchmark one.
+    * ``golden=True``: exact GELU + XLA attention + threefry — the
+      bitstream-pinned config the goldens/tests pin, kept as its own
+      metric for regression tracking.
+    * ``fastpath=True``: + tanh GELU (the approximation, ~1e-3 off) —
+      the recommended from-scratch-training setting.
+    * ``reuse=True``: + mismatched pairs share the matched-caption
+      embeddings (tem_mis = tem[perm], halves the text-encoder FLOPs —
+      semantics note in Stage1Config).
+    """
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    rng_impl, state, data, compiled = _stage1_setup(
+        batch, fastpath=fastpath, reuse=reuse, golden=golden
+    )
     state, metrics = compiled(state, data, _bench_key(2, rng_impl))
     _fence(metrics)
 
@@ -496,7 +507,7 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = Fal
         name = "stage1_64px_train_golden"
     else:
         name = "stage1_64px_train"
-    if reuse_cfg:
+    if reuse or os.environ.get("BENCH_TEXT_REUSE", "0") == "1":
         name += "_reuse"
     name += "_images_per_sec_per_chip"
     _emit(

@@ -112,6 +112,8 @@ def test_loader_yields_device_batches(store):
     assert len(batches) == 2
     for b in batches:
         assert b["image"].shape == (2, 64, 64, 3)
+        # default transfer dtype rides through collate + device_put
+        assert np.asarray(b["image"]).dtype == np.uint8
         assert b["input_ids"].shape == (2, 16)
 
     # shuffling is epoch-dependent but deterministic per (seed, epoch)

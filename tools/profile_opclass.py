@@ -14,6 +14,7 @@ top ops inside each class, and the class's share of total device time.
 
 Usage:
     python tools/profile_opclass.py --workload v2 [--rng_impl rbg]
+    python tools/profile_opclass.py --workload stage1|stage1_fast|stage2
     python tools/profile_opclass.py --xplane /tmp/trace_dir
 """
 
@@ -54,6 +55,47 @@ def capture_v2(out_dir: str, rng_impl: str | None, chain: int, batch: int):
     print(f"trace captured ({3 * chain} iterations; "
           f"{flops / 1e9:.1f} GFLOP/iteration per cost analysis)")
     return 3 * chain  # device executions of the step body
+
+
+def capture_train(out_dir: str, workload: str, batch: int | None):
+    """Trace the stage-1 / stage-2 train step exactly as benched
+    (``bench._stage1_setup`` / ``bench._stage2_setup`` — the same
+    builders the headline metrics use). Returns device executions of
+    the traced program (steps; each holds n_critic critic iterations)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    if workload.startswith("stage1"):
+        batch = batch or int(os.environ.get("BENCH_BATCH", "128"))
+        rng_impl, state, data, compiled = bench._stage1_setup(
+            batch,
+            fastpath="fast" in workload,
+            reuse="reuse" in workload,
+            golden="golden" in workload,
+        )
+    else:  # stage2 (precomputed-tem headline config)
+        batch = batch or int(os.environ.get("BENCH_BATCH", "256"))
+        unroll = int(os.environ.get("BENCH_UNROLL", "5"))
+        rng_impl = bench._rng_impl("rbg")
+        _, state, data, compiled = bench._stage2_setup(
+            batch, jnp.bfloat16, unroll, True, rng_impl
+        )
+
+    def key(i):
+        return bench._bench_key(i, rng_impl)
+
+    state, metrics = compiled(state, data, key(2))
+    jax.block_until_ready(metrics)
+    with jax.profiler.trace(out_dir):
+        for i in range(3):
+            state, metrics = compiled(state, data, key(3 + i))
+        jax.block_until_ready(metrics)
+    flops = compiled.cost_analysis().get("flops", 0.0)
+    print(f"trace captured (3 steps of b{batch}; "
+          f"{flops / 1e9:.1f} GFLOP/step per cost analysis)")
+    return 3
 
 
 def parse_opstats(trace_dir: str):
@@ -155,7 +197,12 @@ def classify(rows, executions: int | None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", default="v2", choices=["v2"])
+    ap.add_argument(
+        "--workload", default="v2",
+        choices=["v2", "stage1", "stage1_fast", "stage1_fast_reuse",
+                 "stage1_golden", "stage2"],
+        help="which benched workload to trace (train workloads report "
+             "ms/STEP; one step holds the full n_critic critic loop)")
     ap.add_argument("--xplane", default=None,
                     help="parse an existing trace dir instead of capturing")
     ap.add_argument("--rng_impl", default="rbg",
@@ -164,8 +211,11 @@ def main():
                          "default rbg = the bench_v2 headline config, so "
                          "the default profile traces the same workload "
                          "the headline measures")
-    ap.add_argument("--chain", type=int, default=20)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--chain", type=int, default=20,
+                    help="iterations per dispatch (v2 workload)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch size (default: the workload's bench "
+                         "default — 1 v2 / 128 stage1 / 256 stage2)")
     ap.add_argument("--keep", default=None,
                     help="directory to keep the captured trace in")
     args = ap.parse_args()
@@ -174,8 +224,11 @@ def main():
         classify(parse_opstats(args.xplane), None)
         return
     out_dir = args.keep or tempfile.mkdtemp(prefix="opclass_")
-    rng_impl = None if args.rng_impl == "threefry" else args.rng_impl
-    execs = capture_v2(out_dir, rng_impl, args.chain, args.batch)
+    if args.workload == "v2":
+        rng_impl = None if args.rng_impl == "threefry" else args.rng_impl
+        execs = capture_v2(out_dir, rng_impl, args.chain, args.batch or 1)
+    else:
+        execs = capture_train(out_dir, args.workload, args.batch)
     classify(parse_opstats(out_dir), execs)
 
 

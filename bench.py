@@ -48,9 +48,12 @@ Env knobs:
   BENCH_REPS   (default 5)  timed windows per metric (median reported)
   BENCH_CHAIN  (default 20) v2 iterations per dispatch (display_freq)
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
-  BENCH_GELU   text-encoder GELU: exact (HF-faithful erf; headline +
-               golden default) | tanh (approximation, ~9% faster
-               stage-1 step; fastpath default)
+  BENCH_GELU   text-encoder GELU: exact (HF-faithful erf; golden
+               default) | exact_outbwd (same bit-identical forward,
+               backward recovers the CDF from the saved output instead
+               of re-running erf — ops/gelu.py; headline default,
+               +3.9% whole-step) | tanh (approximation, ~9% faster
+               than exact; fastpath default)
   BENCH_RNG    step-key PRNG impl: threefry (golden default) | rbg
                (headline default; deterministic, different bitstream,
                measured faster mask/noise generation)
@@ -402,8 +405,11 @@ def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla"):
     from imagegenerator_tpu.models.bert import BertConfig
 
     cfg = BertConfig()
-    if os.environ.get("BENCH_GELU", gelu) == "tanh":
+    gelu = os.environ.get("BENCH_GELU", gelu)
+    if gelu == "tanh":
         cfg = dataclasses.replace(cfg, gelu_approximate=True)
+    elif gelu == "exact_outbwd":
+        cfg = dataclasses.replace(cfg, gelu_output_bwd=True)
     if os.environ.get("BENCH_LN", ln) == "pallas":
         cfg = dataclasses.replace(cfg, fused_ln=True)
     if os.environ.get("BENCH_ATTN", attn) == "pallas":
@@ -433,8 +439,12 @@ def _stage1_setup(batch, fastpath=False, reuse=False, golden=False):
         bert_cfg = _bench_bert_cfg(gelu="exact", attn="xla")
         rng_impl = _rng_impl(None)
     else:
+        # headline GELU = exact_outbwd: bit-identical exact-erf forward;
+        # the backward recovers the CDF from the saved gelu output
+        # instead of re-running the erf polynomial (ops/gelu.py) —
+        # +3.9% whole-step, same-session A/B 618.3 -> 642.5 img/s
         bert_cfg = _bench_bert_cfg(
-            gelu="tanh" if fastpath else "exact", attn="pallas"
+            gelu="tanh" if fastpath else "exact_outbwd", attn="pallas"
         )
         rng_impl = _rng_impl("rbg")
     reuse_cfg = (
@@ -472,12 +482,14 @@ def bench_stage1(fastpath: bool = False, reuse: bool = False, golden: bool = Fal
     Variants (VERDICT.md round-3 next #2 — the headline is the FASTEST
     config whose function semantics are identical to HF SpanBERT):
 
-    * default (headline): exact-erf GELU + fused Pallas attention + rbg
-      step keys. Only the dropout/noise BITSTREAMS differ from
-      threefry/XLA — and no JAX bitstream was ever faithful to the
-      reference's torch CPU-generator noise (stage_1_train_fn.py:98-106),
-      so bitstream identity is a regression-test concern, not a
-      benchmark one.
+    * default (headline): exact-erf GELU (output-recovered backward,
+      ops/gelu.py — forward bit-identical to exact; the backward is the
+      same exact formula with the CDF term at the saved output's bf16
+      precision) + fused Pallas attention + rbg step keys. Only the
+      dropout/noise BITSTREAMS differ from threefry/XLA — and no JAX
+      bitstream was ever faithful to the reference's torch
+      CPU-generator noise (stage_1_train_fn.py:98-106), so bitstream
+      identity is a regression-test concern, not a benchmark one.
     * ``golden=True``: exact GELU + XLA attention + threefry — the
       bitstream-pinned config the goldens/tests pin, kept as its own
       metric for regression tracking.

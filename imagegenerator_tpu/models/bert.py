@@ -43,6 +43,17 @@ class BertConfig:
     # time at batch 128; benchmarks/PROFILE_stage1_r03.md), numerically
     # within ~1e-3 of exact. Set via --gelu tanh / BENCH_GELU=tanh.
     gelu_approximate: bool = False
+    # Exact-erf GELU with the output-recovered backward (ops/gelu.py):
+    # forward BIT-IDENTICAL to the exact path; the backward recovers
+    # Phi(y) = h/y from the already-saved gelu output instead of
+    # re-running XLA's erf polynomial (the recompute is fused into the
+    # MLP backward dots and is most of the measured 21.5 ms/step
+    # exact-vs-tanh premium, benchmarks/PROFILE_train_r04.md). The Phi
+    # term carries the saved output's bf16 rounding — same order as the
+    # gradient's own mixed-precision rounding (tests/test_gelu.py).
+    # Ignored when gelu_approximate=True. Set via --gelu exact_outbwd /
+    # BENCH_GELU=exact_outbwd.
+    gelu_output_bwd: bool = False
     # LayerNorm implementation. True routes every LayerNorm through the
     # fused Pallas forward+VJP kernel (ops/pallas/layernorm.py): one HBM
     # pass computes dx+dgamma+dbeta instead of XLA's separate reduces.
@@ -169,7 +180,12 @@ class _Layer(nn.Module):
         attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
         x = _make_ln(cfg, "attention_ln")(x + attn)
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
-        y = jax.nn.gelu(y, approximate=cfg.gelu_approximate)
+        if cfg.gelu_output_bwd and not cfg.gelu_approximate:
+            from imagegenerator_tpu.ops.gelu import gelu_exact_output_bwd
+
+            y = gelu_exact_output_bwd(y)
+        else:
+            y = jax.nn.gelu(y, approximate=cfg.gelu_approximate)
         y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(y)
         y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
         return _make_ln(cfg, "output_ln")(x + y)

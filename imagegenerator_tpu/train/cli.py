@@ -69,11 +69,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "(default: JAX's threefry). 'rbg' is ~8%% faster "
                         "whole-step on v5e with --gelu tanh; both are "
                         "deterministic per seed with different bitstreams")
-    p.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
+    p.add_argument("--gelu", choices=["exact", "exact_outbwd", "tanh"],
+                   default="exact",
                    help="text-encoder GELU flavor: 'exact' (erf — what "
-                        "HF SpanBERT computes; default) or 'tanh' "
-                        "(approximation, ~9%% faster stage-1 step on "
-                        "v5e; benchmarks/PROFILE_stage1_r03.md)")
+                        "HF SpanBERT computes; default), 'exact_outbwd' "
+                        "(same bit-identical forward; backward recovers "
+                        "the CDF from the saved gelu output instead of "
+                        "re-running the erf polynomial — ops/gelu.py), "
+                        "or 'tanh' (approximation, ~9%% faster stage-1 "
+                        "step on v5e; benchmarks/PROFILE_stage1_r03.md)")
     p.add_argument("--text_reuse_mis", action="store_true",
                    help="stage 1: reuse the matched-caption embeddings "
                         "for the mismatched pairs (tem_mis = tem[perm]) "
@@ -171,12 +175,14 @@ def main(argv=None):
             f"Loaded pretrained BERT: {bert_cfg.num_layers}L/"
             f"{bert_cfg.hidden_size}H vocab={bert_cfg.vocab_size}"
         )
-    if args.gelu == "tanh" or args.fused_ln or args.fused_attn:
+    if args.gelu != "exact" or args.fused_ln or args.fused_attn:
         import dataclasses as _dc
 
         bert_cfg = _dc.replace(
             bert_cfg,
             gelu_approximate=args.gelu == "tanh" or bert_cfg.gelu_approximate,
+            gelu_output_bwd=args.gelu == "exact_outbwd"
+            or bert_cfg.gelu_output_bwd,
             fused_ln=args.fused_ln or bert_cfg.fused_ln,
             fused_attention=args.fused_attn or bert_cfg.fused_attention,
         )

@@ -56,7 +56,9 @@ Env knobs:
                than exact; fastpath default)
   BENCH_RNG    step-key PRNG impl: threefry (golden default) | rbg
                (headline default; deterministic, different bitstream,
-               measured faster mask/noise generation)
+               measured faster mask/noise generation). The *_golden
+               variants IGNORE BENCH_RNG/BENCH_GELU/BENCH_ATTN/BENCH_LN
+               — their config is frozen by definition
   BENCH_LN     (default xla) text-encoder LayerNorm impl: xla | pallas
                (fused one-pass LayerNorm VJP kernel,
                ops/pallas/layernorm.py)
@@ -219,7 +221,7 @@ def _mfu_extras(compiled, per_exec_seconds: float, steps_per_exec: int = 1) -> d
     return extras
 
 
-def _v2_setup(batch, chain, rng_impl, dtype=None):
+def _v2_setup(batch, chain, rng_impl):
     """Build the BENCH_V2-shaped workload: full-size f16-16384 VQGAN +
     ViT-B/32 engine, ``batch`` prompt sets, ``chain`` iterations
     AOT-compiled as ONE dispatch. Shared by bench_v2 and
@@ -232,12 +234,11 @@ def _v2_setup(batch, chain, rng_impl, dtype=None):
     from imagegenerator_tpu.v2.engine import GenerateEngine
     from imagegenerator_tpu.v2.vqgan import VQGANConfig, VQModel
 
-    if dtype is None:
-        dtype = (
-            jnp.bfloat16
-            if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
-            else jnp.float32
-        )
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
 
     def _key(i):
         return _bench_key(i, rng_impl)
@@ -393,26 +394,34 @@ def _rng_impl(default: str | None) -> str | None:
     return None if default in (None, "", "threefry") else default
 
 
-def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla"):
+def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla", pinned=False):
     """Text-encoder config for the training benches, from per-variant
-    defaults; BENCH_GELU / BENCH_LN / BENCH_ATTN override. gelu=tanh is
-    the approximation (~9% faster stage-1 step, ~1e-3 from HF
-    SpanBERT's exact erf — BertConfig.gelu_approximate); attn=pallas is
-    the fused attention kernel (identical function semantics, different
-    dropout bitstream — ops/pallas/attention.py)."""
+    defaults; BENCH_GELU / BENCH_LN / BENCH_ATTN override — UNLESS
+    ``pinned=True`` (the *_golden variants), where the whole point of
+    the metric is a frozen config: env overrides are ignored so a
+    stray BENCH_* left set during a BENCH_TARGET=all run cannot emit a
+    different config under the golden name and mask a regression in
+    the actually-pinned path. gelu=tanh is the approximation (~9%
+    faster stage-1 step, ~1e-3 from HF SpanBERT's exact erf —
+    BertConfig.gelu_approximate); attn=pallas is the fused attention
+    kernel (identical function semantics, different dropout bitstream —
+    ops/pallas/attention.py)."""
     import dataclasses
 
     from imagegenerator_tpu.models.bert import BertConfig
 
     cfg = BertConfig()
-    gelu = os.environ.get("BENCH_GELU", gelu)
+    if not pinned:
+        gelu = os.environ.get("BENCH_GELU", gelu)
+        ln = os.environ.get("BENCH_LN", ln)
+        attn = os.environ.get("BENCH_ATTN", attn)
     if gelu == "tanh":
         cfg = dataclasses.replace(cfg, gelu_approximate=True)
     elif gelu == "exact_outbwd":
         cfg = dataclasses.replace(cfg, gelu_output_bwd=True)
-    if os.environ.get("BENCH_LN", ln) == "pallas":
+    if ln == "pallas":
         cfg = dataclasses.replace(cfg, fused_ln=True)
-    if os.environ.get("BENCH_ATTN", attn) == "pallas":
+    if attn == "pallas":
         cfg = dataclasses.replace(cfg, fused_attention=True)
     return cfg
 
@@ -436,8 +445,10 @@ def _stage1_setup(batch, fastpath=False, reuse=False, golden=False):
     )
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     if golden:
-        bert_cfg = _bench_bert_cfg(gelu="exact", attn="xla")
-        rng_impl = _rng_impl(None)
+        # fully pinned: env overrides ignored, threefry keys always —
+        # the golden series only means anything if its config is frozen
+        bert_cfg = _bench_bert_cfg(gelu="exact", attn="xla", pinned=True)
+        rng_impl = None
     else:
         # headline GELU = exact_outbwd: bit-identical exact-erf forward;
         # the backward recovers the CDF from the saved gelu output
@@ -646,10 +657,16 @@ def _stage2_setup(
         make_train_step,
     )
 
-    # attn default pallas (the semantics-identical fast config) — only
-    # the token path (precomputed=0) runs BERT in-step, so this is inert
-    # for the precomputed headline; golden pins XLA attention + threefry
-    bert_cfg = _bench_bert_cfg(attn="xla" if golden else "pallas")
+    # attn default pallas + output-recovered GELU backward (the
+    # semantics-identical fast config) — only the token path
+    # (precomputed=0) runs BERT in-step, so this is inert for the
+    # precomputed headline; golden PINS exact + XLA attention (env
+    # overrides ignored — see _bench_bert_cfg)
+    bert_cfg = _bench_bert_cfg(
+        gelu="exact" if golden else "exact_outbwd",
+        attn="xla" if golden else "pallas",
+        pinned=golden,
+    )
     cfg = Stage2Config(
         compute_dtype=dtype, unroll_critic=unroll, bert=bert_cfg
     )
@@ -700,7 +717,8 @@ def bench_stage2(golden: bool = False):
         jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     )
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
-    rng_impl = _rng_impl(None) if golden else _rng_impl("rbg")
+    # golden: threefry always (BENCH_RNG ignored — pinned config)
+    rng_impl = None if golden else _rng_impl("rbg")
     _, state, batch_data, compiled = _stage2_setup(
         batch, dtype, unroll, precomputed, rng_impl, golden
     )

@@ -78,9 +78,16 @@ def capture_train(out_dir: str, workload: str, batch: int | None):
     else:  # stage2 (precomputed-tem headline config)
         batch = batch or int(os.environ.get("BENCH_BATCH", "256"))
         unroll = int(os.environ.get("BENCH_UNROLL", "5"))
+        # honor BENCH_DTYPE like the stage1 builder does — the contract
+        # is that profiles trace exactly the benched workload
+        dtype = (
+            jnp.bfloat16
+            if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+            else jnp.float32
+        )
         rng_impl = bench._rng_impl("rbg")
         _, state, data, compiled = bench._stage2_setup(
-            batch, jnp.bfloat16, unroll, True, rng_impl
+            batch, dtype, unroll, True, rng_impl
         )
 
     def key(i):

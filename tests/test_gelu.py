@@ -111,3 +111,42 @@ def test_grad_through_dense_stack():
         err_fast = np.sqrt(np.mean(((gf - gt) / denom) ** 2))
         err_ref = np.sqrt(np.mean(((gr - gt) / denom) ** 2))
         assert err_fast <= err_ref * 1.3 + 1e-4, (err_fast, err_ref)
+
+
+def test_stage1_step_losses_bit_identical():
+    # the flag's integration contract: the FORWARD is bit-identical, so
+    # a full train step's loss metrics (all forward-derived) must match
+    # the default exact-GELU step EXACTLY — only post-update params may
+    # differ by gradient ulps
+    import dataclasses
+
+    from imagegenerator_tpu.train.stage1 import (
+        Stage1Config,
+        Stage1System,
+        make_train_step,
+    )
+
+    def run(output_bwd):
+        cfg = Stage1Config.tiny(n_critic=1)
+        cfg = dataclasses.replace(
+            cfg, bert=dataclasses.replace(cfg.bert, gelu_output_bwd=output_bwd)
+        )
+        system = Stage1System(cfg)
+        state = system.init(jax.random.key(0), 4)
+        kt, ki = jax.random.split(jax.random.key(1))
+        batch = {
+            "input_ids": jax.random.randint(
+                kt, (4, cfg.seq_len), 0, cfg.bert.vocab_size
+            ),
+            "attention_mask": jnp.ones((4, cfg.seq_len), jnp.int32),
+            "image": jax.random.uniform(
+                ki, (4, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+            ),
+        }
+        _, metrics = make_train_step(system, donate=False)(
+            state, batch, jax.random.key(2)
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    ref, fast = run(False), run(True)
+    assert ref == fast, (ref, fast)

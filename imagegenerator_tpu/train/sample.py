@@ -1,0 +1,139 @@
+"""Sampling CLI: generate images from a trained v1 checkpoint.
+
+The reference has no standalone inference path — its only sample surface
+is the fixed-noise TensorBoard image grid inside stage-2 training
+(``/root/reference/stage_2_train_fn.py:181-208``). This CLI completes
+the v1 story for a user of the framework: load the latest checkpoint a
+training run wrote (``train.py --checkpoint_dir ...``), encode captions
+through the (fine-tuned) text encoder, and decode 64px (stage 1) or
+256px (stage 2) images, one PNG per sample with the caption embedded in
+a ``comment`` text chunk (the same artifact contract as the v2 CLI's
+output.png, generate.py:144-151).
+
+    python -m imagegenerator_tpu.train.sample --stage 2 \
+        --checkpoint_dir ./checkpoints --caption "a red bus|a snowy street" \
+        -n 4 -o samples/
+
+Model-shape flags must match the training run (same contract as resume);
+``--tiny`` mirrors the training CLI's tiny config for smoke tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--stage", type=int, choices=[1, 2], default=2,
+                   help="1 = 64px generator, 2 = 256px refinement stack")
+    p.add_argument("--checkpoint_dir", required=True,
+                   help="the training run's --checkpoint_dir; the latest "
+                        "committed epoch under Stage{N}/ is restored")
+    p.add_argument("--caption", required=True,
+                   help="caption(s), '|'-separated like the v2 CLI's "
+                        "prompts (arg_parser.py -p)")
+    p.add_argument("-n", "--num_samples", type=int, default=1,
+                   help="samples per caption (fresh CA/z noise each)")
+    p.add_argument("-o", "--output", default="samples",
+                   help="output directory (created if missing)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (must match a --tiny training "
+                        "run)")
+    # model-shape flags — reference train.py:31-37 defaults, same as the
+    # training CLI; a checkpoint only restores into a matching shape
+    p.add_argument("--tem_size", type=int, default=512)
+    p.add_argument("--c_dim", type=int, default=128)
+    p.add_argument("--z_dim", type=int, default=100)
+    p.add_argument("--nd", type=int, default=128)
+    p.add_argument("--seq_len", type=int, default=128)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--bert_vocab", type=int, default=28996)
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer name/path (must match training); "
+                        "default: the deterministic hash tokenizer")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image, PngImagePlugin
+
+    from imagegenerator_tpu.checkpoint import CheckpointManager
+    from imagegenerator_tpu.data.tokenizer import HashTokenizer
+    from imagegenerator_tpu.models.bert import BertConfig
+    from imagegenerator_tpu.train import stage1 as s1
+    from imagegenerator_tpu.train import stage2 as s2
+
+    captions = [c.strip() for c in args.caption.split("|") if c.strip()]
+    if not captions:
+        raise SystemExit("--caption is empty")
+    batch_size = len(captions) * args.num_samples
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    common = dict(
+        tem_size=args.tem_size,
+        c_dim=args.c_dim,
+        z_dim=args.z_dim,
+        nd=args.nd,
+        seq_len=args.seq_len,
+        compute_dtype=dtype,
+        bert=BertConfig(vocab_size=args.bert_vocab),
+    )
+    if args.stage == 1:
+        cfg = s1.Stage1Config.tiny() if args.tiny else s1.Stage1Config(**common)
+        system = s1.Stage1System(cfg)
+    else:
+        cfg = s2.Stage2Config.tiny() if args.tiny else s2.Stage2Config(**common)
+        system = s2.Stage2System(cfg)
+
+    template = jax.jit(system.init, static_argnums=1)(
+        jax.random.key(0), batch_size
+    )
+    mgr = CheckpointManager(f"{args.checkpoint_dir}/Stage{args.stage}")
+    state, start_epoch = mgr.restore_latest(template)
+    if state is None:
+        raise SystemExit(
+            f"no checkpoint found under "
+            f"{args.checkpoint_dir}/Stage{args.stage}"
+        )
+    print(f"Loaded checkpoint at epoch {start_epoch - 1}")
+
+    if args.tokenizer:
+        from imagegenerator_tpu.data.tokenizer import HFTokenizer
+
+        tok = HFTokenizer(args.tokenizer, max_length=cfg.seq_len)
+    else:
+        tok = HashTokenizer(
+            vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len
+        )
+    # caption i repeated num_samples times, sample index varying fastest
+    texts = [c for c in captions for _ in range(args.num_samples)]
+    batch = tok(texts)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    imgs = jax.jit(system.sample)(state, batch, jax.random.key(args.seed))
+    imgs = np.asarray(jax.device_get(imgs), np.float32)  # (B, H, W, 3) [-1, 1]
+    arr = np.clip((imgs + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+
+    os.makedirs(args.output, exist_ok=True)
+    for i, caption in enumerate(captions):
+        for j in range(args.num_samples):
+            info = PngImagePlugin.PngInfo()
+            info.add_text("comment", caption)
+            path = os.path.join(args.output, f"sample_{i}_{j}.png")
+            Image.fromarray(arr[i * args.num_samples + j]).save(
+                path, pnginfo=info
+            )
+            print(f"wrote {path} ({arr.shape[1]}x{arr.shape[2]}): {caption}")
+
+
+if __name__ == "__main__":
+    main()

@@ -252,6 +252,40 @@ class Stage1System:
         )
         return fake, mu, sigma, mut["batch_stats"]
 
+    def sample(self, state: "Stage1State", batch: dict, key: jax.Array):
+        """64px sample generation from a trained state: deterministic
+        text encode -> CA -> G1 in eval mode (the stage-1 analog of
+        Stage2System.sample / the reference's fixed-noise TensorBoard
+        image path, stage_2_train_fn.py:181-208 — the reference never
+        wires a stage-1 sampler; this is the inference surface the
+        training stack implies). Accepts {'input_ids','attention_mask'}
+        or a precomputed {'tem'}."""
+        k_ca, k_z = jax.random.split(key)
+        if "tem" in batch:
+            tem = batch["tem"].astype(jnp.float32)
+        else:
+            tem = self.encode_text(
+                state.params["encoder"],
+                state.params["projection"],
+                batch["input_ids"],
+                batch["attention_mask"],
+                dropout_key=None,
+            )
+        c = self.config
+        c_hat, _, _ = self.con_augment.apply(
+            {"params": state.params["con_augment"]}, tem, rngs={"noise": k_ca}
+        )
+        z = jax.random.normal(k_z, (tem.shape[0], c.z_dim), jnp.float32)
+        latent = jnp.concatenate([c_hat, z], axis=1)
+        return self.generator.apply(
+            {
+                "params": state.params["generator"],
+                "batch_stats": state.batch_stats["generator"],
+            },
+            latent,
+            train=False,
+        )
+
     def _critic_apply(self, critic_params, critic_stats, img, tem):
         """One critic forward in train mode; returns (scores, new_stats)."""
 

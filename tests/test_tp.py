@@ -264,3 +264,56 @@ def test_stage1_2d_mesh_fused_attention():
         np.asarray(ref_do_state.params["encoder"]["layer_0"]["attention"]["query"]["kernel"]),
         rtol=5e-4, atol=5e-4,
     )
+
+
+def test_stage1_2d_mesh_gelu_output_bwd():
+    """The output-recovered GELU backward (ops/gelu.py, a custom_vjp)
+    under the GSPMD 2-D step: elementwise custom_vjp calls must
+    partition transparently, so a dp=2 x tp=2 step with
+    gelu_output_bwd=True reproduces the meshless step with the same
+    flag (and, since the forward is bit-identical, its loss metrics
+    also match the plain exact-GELU meshless step)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from imagegenerator_tpu.train.stage1 import (
+        Stage1Config,
+        Stage1System,
+        make_train_step,
+        make_train_step_2d,
+        shard_state_2d,
+    )
+
+    base = Stage1Config.tiny(n_critic=1, text_dropout=False)
+    cfg = dataclasses.replace(
+        base, bert=dataclasses.replace(base.bert, gelu_output_bwd=True)
+    )
+    system = Stage1System(cfg)
+    state = system.init(jax.random.key(0), 4)
+    kt, ki = jax.random.split(jax.random.key(1))
+    batch = {
+        "input_ids": jax.random.randint(
+            kt, (4, cfg.seq_len), 0, cfg.bert.vocab_size
+        ),
+        "attention_mask": jnp.ones((4, cfg.seq_len), jnp.int32),
+        "image": jax.random.uniform(
+            ki, (4, cfg.resolution, cfg.resolution, 3), minval=-1, maxval=1
+        ),
+    }
+    _, ref_metrics = make_train_step(system, donate=False)(
+        state, batch, jax.random.key(3)
+    )
+
+    mesh = make_tp_mesh(data=2, model=2)
+    st = shard_state_2d(state, mesh)
+    out, metrics = make_train_step_2d(system, mesh, donate=False)(
+        st, jax.device_put(batch, NamedSharding(mesh, P("data"))),
+        jax.random.key(3),
+    )
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(metrics[k]), np.asarray(ref_metrics[k]),
+            rtol=5e-4, atol=5e-4, err_msg=k,
+        )
+    assert int(out.step) == int(state.step) + 1

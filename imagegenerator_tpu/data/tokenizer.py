@@ -74,3 +74,15 @@ class HFTokenizer:
             "input_ids": enc["input_ids"].astype(np.int32),
             "attention_mask": enc["attention_mask"].astype(np.int32),
         }
+
+
+def make_tokenizer(name: str | None, args_seq_len: int, cfg):
+    """The ONE tokenizer-selection rule, shared by the training and
+    sampling CLIs so inference can never drift from training: an HF
+    tokenizer (``--tokenizer``) uses the CLI ``--seq_len`` (the
+    reference's fixed 128, data_loader.py:74); the hash fallback uses
+    the model config's ``seq_len`` (tiny configs shrink it). ``cfg``
+    needs ``.seq_len`` and ``.bert.vocab_size``."""
+    if name:
+        return HFTokenizer(name, max_length=args_seq_len)
+    return HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)

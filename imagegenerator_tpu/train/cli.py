@@ -21,7 +21,7 @@ import argparse
 import jax
 import numpy as np
 
-from imagegenerator_tpu.data import CocoCaptions, DataLoader, HashTokenizer, open_store
+from imagegenerator_tpu.data import CocoCaptions, DataLoader, open_store
 from imagegenerator_tpu.models.bert import BertConfig
 from imagegenerator_tpu.train import stage1 as s1
 from imagegenerator_tpu.train import stage2 as s2
@@ -236,14 +236,9 @@ def main(argv=None):
         host_count=host_count,
         image_dtype=args.image_dtype,
     )
-    if args.tokenizer:
-        from imagegenerator_tpu.data.tokenizer import HFTokenizer
+    from imagegenerator_tpu.data.tokenizer import make_tokenizer
 
-        tokenizer = HFTokenizer(args.tokenizer, max_length=args.seq_len)
-    else:
-        tokenizer = HashTokenizer(
-            vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len
-        )
+    tokenizer = make_tokenizer(args.tokenizer, args.seq_len, cfg)
     # Each process builds only its addressable share of the global batch;
     # the loader assembles the global array via
     # make_array_from_process_local_data (see data/pipeline.py).

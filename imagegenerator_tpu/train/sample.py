@@ -36,7 +36,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--caption", required=True,
                    help="caption(s), '|'-separated like the v2 CLI's "
                         "prompts (arg_parser.py -p)")
-    p.add_argument("-n", "--num_samples", type=int, default=1,
+    def _positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
+    p.add_argument("-n", "--num_samples", type=_positive, default=1,
                    help="samples per caption (fresh CA/z noise each)")
     p.add_argument("-o", "--output", default="samples",
                    help="output directory (created if missing)")
@@ -53,6 +59,20 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--bert_vocab", type=int, default=28996)
+    p.add_argument("--bert_checkpoint", default=None,
+                   help="torch SpanBERT/BERT state_dict used at training "
+                        "(--bert_checkpoint there): its INFERRED "
+                        "ARCHITECTURE shapes the restore template; the "
+                        "fine-tuned weights themselves come from the "
+                        "training checkpoint")
+    p.add_argument("--gelu", choices=["exact", "exact_outbwd", "tanh"],
+                   default="exact",
+                   help="text-encoder GELU flavor — MUST match training "
+                        "(--gelu there): tanh is a different function, "
+                        "so sampling a tanh-trained encoder with exact "
+                        "silently shifts every embedding. exact_outbwd "
+                        "equals exact at inference (the variants differ "
+                        "only in the backward)")
     p.add_argument("--tokenizer", default=None,
                    help="HF tokenizer name/path (must match training); "
                         "default: the deterministic hash tokenizer")
@@ -77,6 +97,25 @@ def main(argv=None):
         raise SystemExit("--caption is empty")
     batch_size = len(captions) * args.num_samples
 
+    # BertConfig must reproduce the TRAINING run's encoder function and
+    # architecture (same construction rules as train/cli.py:main): a
+    # --bert_checkpoint run inferred its layer/width shapes from the
+    # torch file, and --gelu tanh is a different function — both must be
+    # re-declared here or the restore template/function won't match.
+    import dataclasses as _dc
+
+    bert_cfg = BertConfig(vocab_size=args.bert_vocab)
+    if args.bert_checkpoint:
+        from imagegenerator_tpu.models.bert import load_bert_checkpoint
+
+        _, bert_cfg = load_bert_checkpoint(args.bert_checkpoint)
+    if args.gelu != "exact":
+        bert_cfg = _dc.replace(
+            bert_cfg,
+            gelu_approximate=args.gelu == "tanh",
+            gelu_output_bwd=args.gelu == "exact_outbwd",
+        )
+
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     common = dict(
         tem_size=args.tem_size,
@@ -85,17 +124,32 @@ def main(argv=None):
         nd=args.nd,
         seq_len=args.seq_len,
         compute_dtype=dtype,
-        bert=BertConfig(vocab_size=args.bert_vocab),
+        bert=bert_cfg,
+    )
+    tiny_kw = (
+        dict(bert=bert_cfg, seq_len=args.seq_len)
+        if args.bert_checkpoint
+        else {}
     )
     if args.stage == 1:
-        cfg = s1.Stage1Config.tiny() if args.tiny else s1.Stage1Config(**common)
+        cfg = (
+            s1.Stage1Config.tiny(**tiny_kw)
+            if args.tiny
+            else s1.Stage1Config(**common)
+        )
         system = s1.Stage1System(cfg)
     else:
-        cfg = s2.Stage2Config.tiny() if args.tiny else s2.Stage2Config(**common)
+        cfg = (
+            s2.Stage2Config.tiny(**tiny_kw)
+            if args.tiny
+            else s2.Stage2Config(**common)
+        )
         system = s2.Stage2System(cfg)
 
-    template = jax.jit(system.init, static_argnums=1)(
-        jax.random.key(0), batch_size
+    # abstract template: restore_latest takes shapes/dtypes, so nothing
+    # is compiled or materialized just to be overwritten by the restore
+    template = jax.eval_shape(
+        lambda k: system.init(k, batch_size), jax.random.key(0)
     )
     mgr = CheckpointManager(f"{args.checkpoint_dir}/Stage{args.stage}")
     state, start_epoch = mgr.restore_latest(template)

@@ -236,19 +236,26 @@ class Stage1System:
         cls = hidden[:, 0, :].astype(jnp.float32)
         return self.projection.apply({"params": proj_params}, cls)
 
-    def _gen_forward(self, params, gen_stats, tem, k_ca, k_z, batch_size):
-        """CA -> z-noise -> G1. Returns (fake_64, mu, sigma, new_gen_stats)."""
+    def _gen_forward(
+        self, params, gen_stats, tem, k_ca, k_z, batch_size, train=True
+    ):
+        """CA -> z-noise -> G1. Returns (fake_64, mu, sigma, new_gen_stats);
+        ``train=False`` uses the running BN stats and returns them
+        unchanged (the eval path ``sample`` rides)."""
         c = self.config
         c_hat, mu, sigma = self.con_augment.apply(
             {"params": params["con_augment"]}, tem, rngs={"noise": k_ca}
         )
         z = jax.random.normal(k_z, (batch_size, c.z_dim), jnp.float32)
         latent = jnp.concatenate([c_hat, z], axis=1)
+        variables = {"params": params["generator"], "batch_stats": gen_stats}
+        if not train:
+            return (
+                self.generator.apply(variables, latent, train=False),
+                mu, sigma, gen_stats,
+            )
         fake, mut = self.generator.apply(
-            {"params": params["generator"], "batch_stats": gen_stats},
-            latent,
-            train=True,
-            mutable=["batch_stats"],
+            variables, latent, train=True, mutable=["batch_stats"]
         )
         return fake, mu, sigma, mut["batch_stats"]
 
@@ -271,20 +278,13 @@ class Stage1System:
                 batch["attention_mask"],
                 dropout_key=None,
             )
-        c = self.config
-        c_hat, _, _ = self.con_augment.apply(
-            {"params": state.params["con_augment"]}, tem, rngs={"noise": k_ca}
-        )
-        z = jax.random.normal(k_z, (tem.shape[0], c.z_dim), jnp.float32)
-        latent = jnp.concatenate([c_hat, z], axis=1)
-        return self.generator.apply(
-            {
-                "params": state.params["generator"],
-                "batch_stats": state.batch_stats["generator"],
-            },
-            latent,
+        fake, _, _, _ = self._gen_forward(
+            state.params,
+            state.batch_stats["generator"],
+            tem, k_ca, k_z, tem.shape[0],
             train=False,
         )
+        return fake
 
     def _critic_apply(self, critic_params, critic_stats, img, tem):
         """One critic forward in train mode; returns (scores, new_stats)."""

@@ -65,6 +65,11 @@ Env knobs:
   BENCH_ATTN   text-encoder attention impl: xla (golden default) |
                pallas (headline default: fused QK^T+softmax+dropout+PV
                kernel with recompute backward, ops/pallas/attention.py)
+  BENCH_DROPOUT_BITS (default 32) mask-draw width for the text
+               encoder's hidden-dropout sites: 32 (nn.Dropout) | 16 | 8
+               (ops/dropout.py narrow-bits draw — halves/quarters the
+               non-fusible RngBitGenerator HBM traffic; unbiased, keep
+               prob quantized to 2^-bits)
   BENCH_TEXT_REUSE (default 0) 1 = stage-1 mismatched pairs reuse the
                matched embeddings (tem_mis = tem[perm]; halves the
                text-encoder cost; under dropout the mismatched pair
@@ -394,7 +399,8 @@ def _rng_impl(default: str | None) -> str | None:
     return None if default in (None, "", "threefry") else default
 
 
-def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla", pinned=False):
+def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla", pinned=False,
+                    dropout_bits=32):
     """Text-encoder config for the training benches, from per-variant
     defaults; BENCH_GELU / BENCH_LN / BENCH_ATTN override — UNLESS
     ``pinned=True`` (the *_golden variants), where the whole point of
@@ -415,6 +421,9 @@ def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla", pinned=False):
         gelu = os.environ.get("BENCH_GELU", gelu)
         ln = os.environ.get("BENCH_LN", ln)
         attn = os.environ.get("BENCH_ATTN", attn)
+        dropout_bits = int(
+            os.environ.get("BENCH_DROPOUT_BITS", str(dropout_bits))
+        )
     if gelu == "tanh":
         cfg = dataclasses.replace(cfg, gelu_approximate=True)
     elif gelu == "exact_outbwd":
@@ -423,6 +432,8 @@ def _bench_bert_cfg(gelu="exact", ln="xla", attn="xla", pinned=False):
         cfg = dataclasses.replace(cfg, fused_ln=True)
     if attn == "pallas":
         cfg = dataclasses.replace(cfg, fused_attention=True)
+    if dropout_bits != 32:
+        cfg = dataclasses.replace(cfg, dropout_bits=dropout_bits)
     return cfg
 
 

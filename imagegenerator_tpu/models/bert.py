@@ -75,6 +75,16 @@ class BertConfig:
     # hardware PRNG (a different deterministic bitstream than
     # nn.Dropout's threefry). Set via --fused_attn / BENCH_ATTN=pallas.
     fused_attention: bool = False
+    # Mask-draw width for the hidden/embedding dropout sites. 32 =
+    # nn.Dropout (f32-uniform compare; goldens default). 16/8 route
+    # through ops/dropout.py: the keep decision is drawn as uint16/uint8
+    # bits, halving/quartering the non-fusible RngBitGenerator HBM
+    # traffic that the profile attributes ~4.7 ms/step to
+    # (benchmarks/PROFILE_train_r04.md "lt + jit(_uniform)"). Unbiased —
+    # kept values rescale by the exact quantized keep prob; rate
+    # quantization is 2^-bits vs nn.Dropout's 2^-24 uniform grid. Set
+    # via --dropout_bits / BENCH_DROPOUT_BITS.
+    dropout_bits: int = 32
 
     @classmethod
     def tiny(cls, vocab_size: int = 128) -> "BertConfig":
@@ -116,6 +126,19 @@ def _make_ln(cfg: "BertConfig", name: str):
     if cfg.fused_ln:
         return _FusedLayerNorm(cfg.layer_norm_eps, name=name)
     return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+
+
+def _dropout(cfg: "BertConfig", x, deterministic: bool):
+    """Hidden/embedding dropout site: nn.Dropout at the 32-bit default,
+    ops/dropout.py narrow-bits draw at dropout_bits 16/8 (both use the
+    "dropout" RNG collection; neither has params)."""
+    if cfg.dropout_bits != 32:
+        from imagegenerator_tpu.ops.dropout import BitsDropout
+
+        return BitsDropout(cfg.dropout_rate, cfg.dropout_bits)(
+            x, deterministic=deterministic
+        )
+    return nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
 
 
 class _SelfAttention(nn.Module):
@@ -161,7 +184,7 @@ class _SelfAttention(nn.Module):
             big_neg = jnp.finfo(logits.dtype).min
             logits = jnp.where(mask[:, None, None, :] > 0, logits, big_neg)
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
+        probs = _dropout(cfg, probs, deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         ctx = ctx.reshape(*x.shape[:2], h)
         return nn.Dense(h, dtype=self.dtype, name="out")(ctx)
@@ -177,7 +200,7 @@ class _Layer(nn.Module):
         attn = _SelfAttention(cfg, self.dtype, name="attention")(
             x, mask, deterministic
         )
-        attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
+        attn = _dropout(cfg, attn, deterministic)
         x = _make_ln(cfg, "attention_ln")(x + attn)
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
         if cfg.gelu_output_bwd and not cfg.gelu_approximate:
@@ -187,7 +210,7 @@ class _Layer(nn.Module):
         else:
             y = jax.nn.gelu(y, approximate=cfg.gelu_approximate)
         y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(y)
-        y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+        y = _dropout(cfg, y, deterministic)
         return _make_ln(cfg, "output_ln")(x + y)
 
 
@@ -220,7 +243,7 @@ class BertEncoder(nn.Module):
         )
         x = word + pos + typ
         x = _make_ln(cfg, "embeddings_ln")(x)
-        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = _dropout(cfg, x, deterministic)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i in range(cfg.num_layers):

@@ -9,6 +9,7 @@ from imagegenerator_tpu.ops.layers import (
     UpBlock,
     DownBlock,
 )
+from imagegenerator_tpu.ops.dropout import BitsDropout, bits_dropout
 from imagegenerator_tpu.ops.gelu import gelu_exact_output_bwd
 from imagegenerator_tpu.ops.grad_utils import replace_grad, clamp_with_grad
 from imagegenerator_tpu.ops.quantize import vector_quantize
@@ -22,6 +23,8 @@ __all__ = [
     "BatchNorm",
     "UpBlock",
     "DownBlock",
+    "BitsDropout",
+    "bits_dropout",
     "gelu_exact_output_bwd",
     "replace_grad",
     "clamp_with_grad",

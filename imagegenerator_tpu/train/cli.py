@@ -86,6 +86,15 @@ def get_parser() -> argparse.ArgumentParser:
                         " under dropout the mismatched pair shares its "
                         "matched twin's dropout sample instead of the "
                         "reference's fresh draw")
+    p.add_argument("--dropout_bits", type=int, choices=[8, 16, 32],
+                   default=32,
+                   help="mask-draw width for the text encoder's hidden-"
+                        "dropout sites: 32 = nn.Dropout's f32-uniform "
+                        "compare (default); 16/8 draw uint16/uint8 bits "
+                        "(ops/dropout.py) — halves/quarters the non-"
+                        "fusible RngBitGenerator HBM traffic. Unbiased "
+                        "(kept values rescale by the exact quantized "
+                        "keep prob); keep-prob quantization 2^-bits")
     p.add_argument("--fused_attn", action="store_true",
                    help="fuse text-encoder attention (QK^T+softmax+"
                         "dropout+PV) into one Pallas kernel per "
@@ -175,7 +184,10 @@ def main(argv=None):
             f"Loaded pretrained BERT: {bert_cfg.num_layers}L/"
             f"{bert_cfg.hidden_size}H vocab={bert_cfg.vocab_size}"
         )
-    if args.gelu != "exact" or args.fused_ln or args.fused_attn:
+    if (
+        args.gelu != "exact" or args.fused_ln or args.fused_attn
+        or args.dropout_bits != 32
+    ):
         import dataclasses as _dc
 
         bert_cfg = _dc.replace(
@@ -185,6 +197,7 @@ def main(argv=None):
             or bert_cfg.gelu_output_bwd,
             fused_ln=args.fused_ln or bert_cfg.fused_ln,
             fused_attention=args.fused_attn or bert_cfg.fused_attention,
+            dropout_bits=args.dropout_bits,
         )
 
     common = dict(

@@ -1,11 +1,23 @@
 """Benchmark suite for the framework's headline workloads.
 
-Default run emits NINE metric lines (after the session-roofline context
-line) — host pipeline, e2e-from-loader (EARLY: host-bound, and the
-late-process heap/threads halve it on this 1-core host), stage-1
-headline, stage-1 golden, stage-1 fastpath, stage-1 fastpath+reuse, v2,
-v2 batched, and stage-2 LAST (the driver's single-line parse reads the
-final line; the stage-2 256px img/s/chip is the headline, BASELINE.md).
+Default run (round 5 restructure — VERDICT.md round-4 next #1/#2): an
+ORCHESTRATOR process runs each bench as its own watchdogged subprocess,
+HEADLINES FIRST — stage2, stage1, v2, then the variants (stage1 golden/
+fast/fast+reuse, v2 batched), host and e2e LAST. A bench that hangs or
+dies is killed at its per-bench timeout and emits an explicit
+``{"metric": <target>, "error": "timeout", ...}`` JSON line; the run
+CONTINUES, so one sick bench can no longer starve the headline metrics
+(round 4's e2e hang emptied ``BENCH_r04.json`` of every device number).
+Every metric line carries cumulative ``elapsed_s`` so a truncated tail
+is diagnosable on its own. The stage-2 headline is re-emitted as the
+FINAL line (the driver's single-line parse reads the last line). The
+subprocess-per-bench shape is the one the round-4 judge demonstrated
+healthy: individual BENCH_TARGET runs completed in the same session
+where the monolithic run hung. Children pass the measured session
+roofline forward via BENCH_SESSION_ROOFLINE so only the first probes.
+Children heartbeat phase starts to stderr and arm
+``faulthandler.dump_traceback_later`` just under their timeout, so any
+future hang names its stack in the driver log instead of dying silent.
 Host-bound metrics carry host_spin_ms (the host-speed probe — e2e and
 host-pipeline numbers scale with it). Every number is
 the MEDIAN of BENCH_REPS timed windows with the min/max spread recorded
@@ -38,7 +50,17 @@ Env knobs:
                v2_batched | host | e2e (stage1_fast = tanh GELU on top
                of the headline config, the recommended from-scratch
                training setting; stage1_fast_reuse adds the
-               mismatched-embedding reuse)
+               mismatched-embedding reuse). Comma-separated lists run
+               in-process in the given order
+  BENCH_SUBPROC (default 1) 1 = the default "all" run orchestrates one
+               watchdogged subprocess per bench; 0 = legacy in-process
+               sequential run (SIGALRM-guarded, best-effort)
+  BENCH_BUDGET_S (default 1500) total wall budget for the "all" run;
+               benches that would not fit emit a skipped_budget line
+  BENCH_SUB_TIMEOUT override every per-bench watchdog timeout (seconds)
+  BENCH_SESSION_ROOFLINE (set by the orchestrator) adopt this roofline
+               instead of probing; BENCH_CHILD_TIMEOUT (ditto) arms the
+               child's pre-kill faulthandler stack dump
   BENCH_BATCH  per-chip batch (stage2/e2e default 256 = measured best;
                stage1 default 128; v2 default 1, v2_batched default 4)
   BENCH_PRECOMPUTED (default 1) stage2 caption embeddings precomputed
@@ -79,10 +101,21 @@ Env knobs:
 import json
 import os
 import statistics
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_T0 = time.monotonic()
+
+
+def _hb(msg: str):
+    """Phase heartbeat to stderr (VERDICT.md round-4 next #2): a hang
+    anywhere in a bench names its last-started phase in the driver log
+    instead of producing 900 s of silence."""
+    print(f"[bench hb {time.monotonic() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _fence(tree):
@@ -123,6 +156,10 @@ def _emit(metric, value, unit, **extra):
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 4),
+        # cumulative process-elapsed seconds: any truncated tail is
+        # diagnosable from the lines alone (the orchestrator rewrites
+        # this with ITS cumulative clock when forwarding child lines)
+        "elapsed_s": round(time.monotonic() - _T0, 1),
     }
     record.update(extra)
     print(json.dumps(record), flush=True)
@@ -168,17 +205,25 @@ def _session_roofline() -> float:
     sessions. Skipped on CPU (mfu is meaningless there)."""
     if _ROOFLINE_CACHE:
         return _ROOFLINE_CACHE[0]
+    env_roof = os.environ.get("BENCH_SESSION_ROOFLINE")
+    if env_roof:
+        # orchestrator passes the first child's measured roofline to the
+        # rest: same session, one probe, one context line
+        _ROOFLINE_CACHE.append(float(env_roof))
+        return _ROOFLINE_CACHE[0]
     if jax.default_backend() == "cpu" or os.environ.get("BENCH_ROOFLINE") == "0":
         _ROOFLINE_CACHE.append(0.0)
         return 0.0
     import numpy as np
 
+    _hb("roofline probe: first device dispatch + readback")
     n, reps = 8192, 10
     k = jax.random.key(0)
     a = jax.random.normal(k, (n, n), jnp.bfloat16)
     b = jax.random.normal(k, (n, n), jnp.bfloat16)
     f = jax.jit(lambda x, y, s: (x @ y) * s)
     _ = np.asarray(f(a, b, 1.0)[0, :8])  # warm + fence
+    _hb("roofline probe: first readback done, timing")
     best = 0.0
     for _trial in range(2):
         t0 = time.perf_counter()
@@ -812,10 +857,12 @@ def bench_e2e():
         else jnp.uint8
     )
     rng_impl = _rng_impl("rbg")  # match the headline stage-2 config
+    _hb("e2e: stage-2 step build + compile")
     system, state, _, compiled = _stage2_setup(
         batch, dtype, unroll, True, rng_impl, image_dtype=image_dtype
     )
 
+    _hb("e2e: synthetic JPEG dataset build")
     store = _build_mem_jpeg_dataset(n_imgs)
     ds = CocoCaptions(
         store,
@@ -826,6 +873,7 @@ def bench_e2e():
     )
     tok = HashTokenizer(max_length=system.config.seq_len)
 
+    _hb("e2e: caption-embedding precompute")
     tems = precompute_caption_embeddings(
         system.embed_texts,
         tok,
@@ -843,12 +891,14 @@ def bench_e2e():
 
     # warm epoch: the full path once (step already compiled; thread
     # pools, PIL caches, first device_puts)
+    _hb("e2e: warm epoch (loader + device_put + steps)")
     metrics = None
     for i, dev_batch in enumerate(iter(loader)):
         state, metrics = compiled(
             state, dev_batch, jax.random.fold_in(_bench_key(2, rng_impl), i)
         )
     _fence(metrics)
+    _hb("e2e: timed epoch windows")
     samples = []
     for r in range(_reps()):
         t0 = time.perf_counter()
@@ -862,6 +912,7 @@ def bench_e2e():
             count += batch
         _fence(metrics)
         samples.append((time.perf_counter() - t0) / count)  # sec/img
+        _hb(f"e2e: window {r + 1}/{_reps()} done")
     med, stats = _median_stats(samples)
     e2e = 1.0 / med
     extras = {}
@@ -879,50 +930,246 @@ def bench_e2e():
     _emit("stage2_e2e_from_loader_images_per_sec", e2e, "images/sec", **extras)
 
 
-def main():
+_TARGET_FNS = {
+    "v2": bench_v2,
+    "v2_batched": lambda: bench_v2(batched=True),
+    "stage1": bench_stage1,
+    "stage1_golden": lambda: bench_stage1(golden=True),
+    "stage1_fast": lambda: bench_stage1(fastpath=True),
+    "stage1_fast_reuse": lambda: bench_stage1(fastpath=True, reuse=True),
+    "host": bench_host,
+    "e2e": bench_e2e,
+    "stage2": bench_stage2,
+    "stage2_golden": lambda: bench_stage2(golden=True),
+}
+
+# Default-run order: the three HEADLINES first (a late hang can no
+# longer starve them — round 4's e2e hang left BENCH_r04.json with zero
+# device metrics), variants next, host-bound last. Seconds are per-bench
+# watchdog timeouts (BENCH_SUB_TIMEOUT overrides all): generous enough
+# for a cold-compile-cache child (warm children finish in tens of
+# seconds; the stage-2 b256 cold compile is the ~10-min outlier the
+# persistent .jax_cache exists to amortize).
+_DEFAULT_ORDER = [
+    ("stage2", 480),
+    ("stage1", 360),
+    ("v2", 360),
+    ("stage1_golden", 240),
+    ("stage1_fast", 240),
+    ("stage1_fast_reuse", 240),
+    ("v2_batched", 240),
+    ("host", 180),
+    ("e2e", 360),
+]
+_HEADLINES = ("stage2", "stage1", "v2")
+
+
+def _emit_error(target: str, error: str, **extra):
+    record = {
+        "metric": target,
+        "error": error,
+        "elapsed_s": round(time.monotonic() - _T0, 1),
+    }
+    record.update(extra)
+    print(json.dumps(record), flush=True)
+
+
+def _watchdog_setup():
+    """Child-process hang forensics: crash tracebacks always on, plus a
+    one-shot all-thread stack dump just before the orchestrator's kill
+    lands (BENCH_CHILD_TIMEOUT), so a hung child names its line in
+    stderr instead of dying silent (round 4's e2e hang: 900 s, zero
+    output, ~0% CPU — VERDICT.md round-4 next #2)."""
+    import faulthandler
+
+    faulthandler.enable()
+    t = os.environ.get("BENCH_CHILD_TIMEOUT")
+    if t:
+        faulthandler.dump_traceback_later(
+            max(10.0, float(t) - 8.0), exit=False
+        )
+
+
+class _AlarmTimeout(Exception):
+    pass
+
+
+def _run_targets(targets):
+    """In-process bench runner (child mode / BENCH_SUBPROC=0 fallback).
+    Multi-target runs guard each bench with SIGALRM (best-effort: a
+    C-level hang that never returns to the interpreter can outlive it —
+    the subprocess orchestrator is the hard line of defense)."""
+    import signal
+
+    _watchdog_setup()
+    from imagegenerator_tpu.utils.cache import setup_compilation_cache
+
+    _hb("backend init (first jax.devices call)")
+    kind = jax.devices()[0].device_kind
+    _hb(f"backend ready: {kind} ({jax.default_backend()})")
     # persistent compilation cache: repeat bench runs (e.g. the driver's
     # round-end run) skip the ~10-minute b256 stage-2 compile entirely.
     # Machine-scoped so a cache written elsewhere can't poison this host.
-    from imagegenerator_tpu.utils.cache import setup_compilation_cache
-
     setup_compilation_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    target = os.environ.get("BENCH_TARGET", "all")
     _session_roofline()  # chip-state context line first (no-op on CPU)
+    use_alarm = (
+        len(targets) > 1
+        and hasattr(signal, "SIGALRM")
+        and os.environ.get("BENCH_ALARM", "1") == "1"
+    )
+    per_bench = int(float(os.environ.get("BENCH_SUB_TIMEOUT", "0")) or 0)
+    for t in targets:
+        fn = _TARGET_FNS[t]
+        _hb(f"bench {t}: start")
+        if not use_alarm:
+            fn()
+            _hb(f"bench {t}: done")
+            continue
+        tmo = per_bench or dict(_DEFAULT_ORDER).get(t, 360)
+
+        def _on_alarm(signum, frame):
+            raise _AlarmTimeout()
+
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(tmo)
+        try:
+            fn()
+            _hb(f"bench {t}: done")
+        except _AlarmTimeout:
+            _emit_error(t, "timeout", timeout_s=tmo, watchdog="sigalrm")
+            _hb(f"bench {t}: SIGALRM timeout after {tmo}s — continuing")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
+
+
+def _child_argv() -> list:
+    """Command line for a bench child process (separated for tests:
+    the orchestrator tests substitute a scripted fake child)."""
+    return [sys.executable, os.path.abspath(__file__)]
+
+
+def _orchestrate():
+    """Parent mode for BENCH_TARGET=all: one subprocess per bench,
+    headline-first, per-bench kill timeouts, explicit error/skip lines,
+    one retry for failed headlines, stage-2 headline re-emitted last
+    (the driver parses the final JSON line). The parent never touches
+    the device — children own the (exclusive, tunneled) TPU serially."""
+    import subprocess
+    import threading
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    sub_tmo = float(os.environ.get("BENCH_SUB_TIMEOUT", "0") or 0)
+    results = {}
+    roofline = [None]
+
+    def _elapsed():
+        return time.monotonic() - _T0
+
+    def run_one(target: str, timeout_s: float) -> bool:
+        env = dict(os.environ)
+        env["BENCH_TARGET"] = target
+        env["BENCH_SUBPROC"] = "0"
+        env["BENCH_CHILD_TIMEOUT"] = str(int(timeout_s))
+        if roofline[0]:
+            env["BENCH_SESSION_ROOFLINE"] = repr(roofline[0])
+        _hb(f"launch {target} (timeout {int(timeout_s)}s)")
+        proc = subprocess.Popen(
+            _child_argv(),
+            stdout=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        metric_lines = []
+
+        def reader():
+            for line in proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    # keep parent stdout strictly JSON metric lines
+                    print(f"[bench child {target}] {line}",
+                          file=sys.stderr, flush=True)
+                    continue
+                if rec.get("metric") == "session_gemm_roofline_tflops":
+                    if roofline[0] is not None:
+                        continue  # one context line per run
+                    roofline[0] = float(rec["value"])
+                else:
+                    metric_lines.append(rec)
+                rec["elapsed_s"] = round(_elapsed(), 1)
+                print(json.dumps(rec), flush=True)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            th.join(5)
+            _emit_error(target, "timeout", timeout_s=int(timeout_s),
+                        watchdog="subprocess_kill")
+            return False
+        th.join(10)
+        if rc != 0:
+            _emit_error(target, f"child_exit_{rc}")
+            return False
+        if not metric_lines:
+            _emit_error(target, "no_metric_output")
+            return False
+        results[target] = metric_lines[-1]
+        return True
+
+    order = list(_DEFAULT_ORDER)
+    if int(os.environ.get("BENCH_BATCH", "1")) > 1:
+        # BENCH_BATCH>1 makes bench_v2 itself the batched shape — the
+        # separate variant would emit the same metric name twice
+        order = [(t, s) for t, s in order if t != "v2_batched"]
+    failed_headlines = []
+    for target, tmo in order:
+        tmo = sub_tmo or tmo
+        remaining = budget - _elapsed()
+        if remaining < 45:
+            _emit_error(target, "skipped_budget", budget_s=budget)
+            continue
+        ok = run_one(target, min(tmo, remaining - 10))
+        if not ok and target in _HEADLINES:
+            failed_headlines.append((target, tmo))
+    for target, tmo in failed_headlines:
+        remaining = budget - _elapsed()
+        if remaining < 60:
+            _emit_error(target, "retry_skipped_budget", budget_s=budget)
+            continue
+        _hb(f"retry failed headline {target}")
+        run_one(target, min(tmo, remaining - 10))
+    headline = results.get("stage2")
+    if headline is not None:
+        headline = dict(headline)
+        headline["reemitted_headline"] = True
+        headline["elapsed_s"] = round(_elapsed(), 1)
+        print(json.dumps(headline), flush=True)
+    else:
+        _emit_error("stage2", "headline_missing")
+
+
+def main():
+    target = os.environ.get("BENCH_TARGET", "all")
     if target == "all":
-        # headline LAST: the driver parses the final JSON line. e2e runs
-        # EARLY, right after bench_host, mostly for hygiene: every
-        # position measures the same tunnel-degraded H2D mode (see
-        # bench_e2e docstring — the roofline probe's first readback
-        # already flips the tunnel), but running it before the heavy
-        # benches keeps the host heap/thread state reproducible.
-        bench_host()
-        bench_e2e()
-        bench_stage1()
-        bench_stage1(golden=True)
-        bench_stage1(fastpath=True)
-        bench_stage1(fastpath=True, reuse=True)
-        bench_v2()
-        # BENCH_BATCH>1 makes bench_v2() itself the batched shape (the
-        # metric name follows the effective batch) — running the batched
-        # variant again would emit the SAME metric name twice
-        if int(os.environ.get("BENCH_BATCH", "1")) == 1:
-            bench_v2(batched=True)
-        bench_stage2()
+        if os.environ.get("BENCH_SUBPROC", "1") == "1":
+            _orchestrate()
+        else:
+            _run_targets([t for t, _ in _DEFAULT_ORDER]
+                         if int(os.environ.get("BENCH_BATCH", "1")) == 1
+                         else [t for t, _ in _DEFAULT_ORDER
+                               if t != "v2_batched"])
         return
-    {
-        "v2": bench_v2,
-        "v2_batched": lambda: bench_v2(batched=True),
-        "stage1": bench_stage1,
-        "stage1_golden": lambda: bench_stage1(golden=True),
-        "stage1_fast": lambda: bench_stage1(fastpath=True),
-        "stage1_fast_reuse": lambda: bench_stage1(fastpath=True, reuse=True),
-        "host": bench_host,
-        "e2e": bench_e2e,
-        "stage2": bench_stage2,
-        "stage2_golden": lambda: bench_stage2(golden=True),
-    }[target]()
+    _run_targets([t.strip() for t in target.split(",") if t.strip()])
 
 
 if __name__ == "__main__":

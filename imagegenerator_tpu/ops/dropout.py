@@ -37,12 +37,29 @@ def bits_dropout(x, key, rate: float, bits: int = 16):
     ``round(rate * 2**bits) / 2**bits`` (exact-rate at bits=32 up to the
     same rounding any finite bitstream imposes); kept values are scaled
     by the exact quantized keep probability.
+
+    Quantization edge cases are errors, not silent behavior changes:
+    a positive rate below ``0.5 / 2**bits`` would quantize to thr == 0
+    (dropout silently OFF), and a rate within ``1 / 2**bits`` of 1.0
+    would quantize to thr == 2**bits (keep probability exactly 0, and
+    the threshold overflows the draw dtype) — both raise ValueError
+    telling the caller to widen ``bits``.
     """
     if not 0.0 <= rate < 1.0:
         raise ValueError(f"rate must be in [0, 1), got {rate}")
     dtype = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32}[bits]
     n = 1 << bits
     thr = int(round(rate * n))
+    if rate > 0.0 and thr == 0:
+        raise ValueError(
+            f"rate={rate} quantizes to 0 at bits={bits} (dropout would be"
+            " silently disabled); use more bits for rates this small"
+        )
+    if thr >= n:
+        raise ValueError(
+            f"rate={rate} quantizes to keep probability 0 at bits={bits};"
+            " use more bits for rates this close to 1"
+        )
     if thr == 0:
         return x
     keep_prob = 1.0 - thr / n

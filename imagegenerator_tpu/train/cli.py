@@ -197,7 +197,9 @@ def main(argv=None):
             or bert_cfg.gelu_output_bwd,
             fused_ln=args.fused_ln or bert_cfg.fused_ln,
             fused_attention=args.fused_attn or bert_cfg.fused_attention,
-            dropout_bits=args.dropout_bits,
+            dropout_bits=args.dropout_bits
+            if args.dropout_bits != 32
+            else bert_cfg.dropout_bits,
         )
 
     common = dict(

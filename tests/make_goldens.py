@@ -77,6 +77,51 @@ def v2_golden():
     return {"z": np.asarray(state.z), "losses": np.asarray(losses)}
 
 
+def stage1_sample_golden():
+    """Eval-path golden (VERDICT.md round-4 next #5): pins the
+    Stage1System.sample inference surface — eval-mode BN running stats,
+    deterministic text encode, CA + z noise keys — which the behavior
+    tests of the sampling CLI alone would let silently drift."""
+    from imagegenerator_tpu.train.stage1 import Stage1Config, Stage1System
+
+    system = Stage1System(Stage1Config.tiny(n_critic=1))
+    state = system.init(jax.random.key(10), 4)
+    kt = jax.random.key(11)
+    batch = {
+        "input_ids": jax.random.randint(kt, (4, system.config.seq_len), 0, 128),
+        "attention_mask": jnp.ones((4, system.config.seq_len), jnp.int32),
+    }
+    imgs = system.sample(state, batch, jax.random.key(12))
+    # precomputed-tem route must agree with the token route given the
+    # same key (the CLI uses tokens; the trainer grid can use tems)
+    tem = system.encode_text(
+        state.params["encoder"], state.params["projection"],
+        batch["input_ids"], batch["attention_mask"], dropout_key=None,
+    )
+    imgs_tem = system.sample(state, {"tem": tem}, jax.random.key(12))
+    np.testing.assert_allclose(
+        np.asarray(imgs), np.asarray(imgs_tem), rtol=1e-5, atol=1e-6
+    )
+    return {"images": np.asarray(imgs)}
+
+
+def stage2_sample_golden():
+    """256px (tiny-config) eval path: frozen stage-1 stack -> CA2 -> G2
+    in eval mode — the reference's fixed-noise TensorBoard image
+    contract (stage_2_train_fn.py:181-208, seed 456)."""
+    from imagegenerator_tpu.train.stage2 import Stage2Config, Stage2System
+
+    system = Stage2System(Stage2Config.tiny(n_critic=1))
+    state = system.init(jax.random.key(20), 4)
+    kt = jax.random.key(21)
+    batch = {
+        "input_ids": jax.random.randint(kt, (4, system.config.seq_len), 0, 128),
+        "attention_mask": jnp.ones((4, system.config.seq_len), jnp.int32),
+    }
+    imgs = system.sample(state, batch, jax.random.key(456))
+    return {"images": np.asarray(imgs)}
+
+
 def models_golden():
     from imagegenerator_tpu.models import StageIGenerator
 
@@ -92,6 +137,12 @@ def main():
     np.savez(os.path.join(GOLDEN_DIR, "stage1_step.npz"), **stage1_golden())
     np.savez(os.path.join(GOLDEN_DIR, "v2_engine.npz"), **v2_golden())
     np.savez(os.path.join(GOLDEN_DIR, "models.npz"), **models_golden())
+    np.savez(
+        os.path.join(GOLDEN_DIR, "sample_stage1.npz"), **stage1_sample_golden()
+    )
+    np.savez(
+        os.path.join(GOLDEN_DIR, "sample_stage2.npz"), **stage2_sample_golden()
+    )
     print("goldens written to", GOLDEN_DIR)
 
 

@@ -60,6 +60,23 @@ def test_unbiased_expectation():
     assert abs(out.mean() - 1.0) < 2e-3
 
 
+def test_quantization_edge_rates_raise():
+    """Rates whose threshold quantizes to 0 (silent no-op) or 2**bits
+    (keep prob 0 + draw-dtype overflow) are errors, not silent behavior
+    changes (ADVICE round 4)."""
+    x = jnp.ones((4, 4))
+    with pytest.raises(ValueError, match="quantizes to 0"):
+        bits_dropout(x, jax.random.key(0), 0.001, 8)
+    with pytest.raises(ValueError, match="keep probability 0"):
+        bits_dropout(x, jax.random.key(0), 0.999, 8)
+    # the same rates are fine at a wider draw
+    bits_dropout(x, jax.random.key(0), 0.001, 16)
+    bits_dropout(x, jax.random.key(0), 0.999, 16)
+    # rate exactly 0 is still the documented identity, not an error
+    out = bits_dropout(x, jax.random.key(0), 0.0, 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
 def test_deterministic_per_key():
     x = jnp.ones((32, 32))
     a = bits_dropout(x, jax.random.key(7), 0.1, 16)

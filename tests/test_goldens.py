@@ -33,6 +33,24 @@ def test_v2_engine_golden():
     np.testing.assert_allclose(got["losses"], want["losses"], rtol=1e-4, atol=1e-5)
 
 
+def test_stage1_sample_golden():
+    """Pins the Stage1System.sample eval path (BN running stats,
+    eval-mode encoder, CA/z key split) — VERDICT.md round-4 next #5."""
+    want = _load("sample_stage1.npz")
+    got = mg.stage1_sample_golden()
+    np.testing.assert_allclose(
+        got["images"], want["images"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_stage2_sample_golden():
+    want = _load("sample_stage2.npz")
+    got = mg.stage2_sample_golden()
+    np.testing.assert_allclose(
+        got["images"], want["images"], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_models_golden():
     want = _load("models.npz")
     got = mg.models_golden()

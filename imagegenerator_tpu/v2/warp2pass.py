@@ -63,6 +63,20 @@ def _kernel_mode():
     return False, False
 
 
+def _banded_mode():
+    """(block, width) for the block-banded windowed contraction when
+    IMAGEGEN_WARP_BANDED=1, else None. Block/width via
+    IMAGEGEN_WARP_BAND_BO / IMAGEGEN_WARP_BAND_WB (defaults 16/32:
+    exact for per-block source spans up to width-2 = 30 px, i.e. map
+    slopes up to 2 — the v2 aug distribution's slopes are ~1)."""
+    if os.environ.get("IMAGEGEN_WARP_BANDED") != "1":
+        return None
+    return (
+        int(os.environ.get("IMAGEGEN_WARP_BAND_BO", "16")),
+        int(os.environ.get("IMAGEGEN_WARP_BAND_WB", "32")),
+    )
+
+
 def _line_weights(coords, in_size, dtype=jnp.bfloat16):
     """coords: (..., out) source positions -> (..., out, in_size) linear-
     interp weights with border clamp.
@@ -79,17 +93,13 @@ def _line_weights(coords, in_size, dtype=jnp.bfloat16):
     return jnp.maximum(0.0, 1.0 - jnp.abs(s[..., None] - k)).astype(dtype)
 
 
-def _warp_kernel_path(images, m, Ho, Wo, interpret):
-    """Banded 2-tap formulation of both passes via the Pallas scanline
-    kernel (ops/pallas/scanline_lerp.py): each weight row of the dense
-    tent matrices has exactly two nonzeros, so the forward contraction is
-    a gather+lerp — O(1) per output instead of O(K); the backward is the
-    XLA-fused transposed contraction (see the kernel's docstring for the
-    measured split). Forward weights are identical to ``_line_weights``
-    up to the dense path's bf16 weight cast."""
-    from imagegenerator_tpu.ops.pallas.scanline_lerp import scanline_lerp
-
-    N, H, W, C = images.shape
+def _homography_scanline_coords(m, H, Ho, Wo):
+    """Vectorized per-scanline source coordinates for both passes of the
+    Catmull–Smith decomposition (shared by the Pallas-kernel and banded
+    paths). Returns (hx, sy): hx (N, H, Wo) is the pass-1 horizontal
+    source-x per (image, source row, out col); sy (N, Wo, Ho) is the
+    pass-2 vertical source-y per (image, out col, out row)."""
+    N = m.shape[0]
     y = jnp.arange(H, dtype=jnp.float32)
     i = jnp.arange(Ho, dtype=jnp.float32)
     j = jnp.arange(Wo, dtype=jnp.float32)
@@ -111,11 +121,6 @@ def _warp_kernel_path(images, m, Ho, Wo, interpret):
         a1[..., None] * j + b1[..., None], a2[..., None] * j + b2[..., None]
     )  # (N, H, Wo)
 
-    src1 = images.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N * H, C, W)
-    i1 = scanline_lerp(
-        src1, hx.reshape(N * H, Wo), interpret=interpret
-    )  # (N*H, C, Wo)
-
     # ---- pass 2 (vertical): sy(i, j) per output column j
     bj = mc(0, 1) * j + mc(0, 2)  # (N, Wo)
     dj = mc(2, 1) * j + mc(2, 2)  # (N, Wo)
@@ -123,12 +128,92 @@ def _warp_kernel_path(images, m, Ho, Wo, interpret):
         mc(0, 0)[..., None] * i + bj[..., None],
         mc(2, 0)[..., None] * i + dj[..., None],
     )  # (N, Wo, Ho)
+    return hx, sy
+
+
+def _warp_kernel_path(images, m, Ho, Wo, interpret):
+    """Banded 2-tap formulation of both passes via the Pallas scanline
+    kernel (ops/pallas/scanline_lerp.py): each weight row of the dense
+    tent matrices has exactly two nonzeros, so the forward contraction is
+    a gather+lerp — O(1) per output instead of O(K); the backward is the
+    XLA-fused transposed contraction (see the kernel's docstring for the
+    measured split). Forward weights are identical to ``_line_weights``
+    up to the dense path's bf16 weight cast."""
+    from imagegenerator_tpu.ops.pallas.scanline_lerp import scanline_lerp
+
+    N, H, W, C = images.shape
+    hx, sy = _homography_scanline_coords(m, H, Ho, Wo)
+
+    src1 = images.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N * H, C, W)
+    i1 = scanline_lerp(
+        src1, hx.reshape(N * H, Wo), interpret=interpret
+    )  # (N*H, C, Wo)
 
     src2 = i1.reshape(N, H, C, Wo).transpose(0, 3, 2, 1).reshape(N * Wo, C, H)
     out2 = scanline_lerp(
         src2, sy.reshape(N * Wo, Ho), interpret=interpret
     )  # (N*Wo, C, Ho)
     return out2.reshape(N, Wo, C, Ho).transpose(0, 3, 1, 2)  # (N, Ho, Wo, C)
+
+
+def _banded_pass(src, s, block: int, width: int):
+    """One scanline resampling pass as a BLOCK-BANDED windowed einsum
+    (VERDICT.md round-4 next #3 — the named-but-untried shape).
+
+    src: (S, K, C) scanline-major source; s: (S, O) source positions.
+    Output positions are blocked ``block`` at a time; each (scanline,
+    block) gathers ONE contiguous source window of static ``width`` and
+    contracts tent weights (block, width) against it — the same
+    linear-interp weights as the dense path, but the weight grid is
+    (S, O, width) instead of (S, O, K): ~K/width less generated-weight
+    HBM traffic, still a batched matmul (no per-element gather — the
+    only gather is one window index per (scanline, block), and its
+    backward is a windowed scatter-add at the same coarse granularity).
+
+    Exact vs the dense path whenever each block's positions span at most
+    ``width - 2`` source pixels (the v2 aug distribution's slopes are
+    ~1; see the caller). Out-of-window positions clamp to the window
+    edge — the same graceful border-clamp degradation the dense path
+    applies at the image edge."""
+    S, K, C = src.shape
+    O = s.shape[1]
+    pad = (-O) % block
+    if pad:
+        s = jnp.concatenate([s, jnp.tile(s[:, -1:], (1, pad))], axis=1)
+    nb = (O + pad) // block
+    width = min(width, K)
+    s = jnp.clip(s, 0.0, K - 1.0)
+    sblk = s.reshape(S, nb, block)
+    base = jnp.clip(
+        jnp.floor(sblk.min(axis=2)), 0.0, float(max(0, K - width))
+    )  # (S, nb)
+    rel = jnp.clip(sblk - base[..., None], 0.0, width - 1.0)  # (S, nb, block)
+    k = jnp.arange(width, dtype=s.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - k)).astype(
+        jnp.bfloat16
+    )  # (S, nb, block, width)
+    idx = base.astype(jnp.int32)[..., None] + jnp.arange(width, dtype=jnp.int32)
+    win = jnp.take_along_axis(
+        src, idx.reshape(S, nb * width)[..., None], axis=1
+    ).reshape(S, nb, width, C)
+    out = jnp.einsum(
+        "sbik,sbkc->sbic", w, win.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(S, nb * block, C)
+    return out[:, :O]
+
+
+def _warp_banded_path(images, m, Ho, Wo, block: int, width: int):
+    """Both passes via :func:`_banded_pass` (IMAGEGEN_WARP_BANDED=1)."""
+    N, H, W, C = images.shape
+    hx, sy = _homography_scanline_coords(m, H, Ho, Wo)
+    src1 = images.astype(jnp.float32).reshape(N * H, W, C)
+    i1 = _banded_pass(src1, hx.reshape(N * H, Wo), block, width)  # (N*H,Wo,C)
+    src2 = (
+        i1.reshape(N, H, Wo, C).transpose(0, 2, 1, 3).reshape(N * Wo, H, C)
+    )
+    out = _banded_pass(src2, sy.reshape(N * Wo, Ho), block, width)
+    return out.reshape(N, Wo, Ho, C).transpose(0, 2, 1, 3)  # (N, Ho, Wo, C)
 
 
 def resize_axis_aligned(
@@ -184,6 +269,11 @@ def warp_homography_2pass(
     if use_kernel and max(H, W) <= MAX_GATHER_K:
         return _warp_kernel_path(
             images, Ms.astype(jnp.float32), Ho, Wo, interpret
+        ).astype(out_dtype)
+    banded = _banded_mode()
+    if banded is not None:
+        return _warp_banded_path(
+            images, Ms.astype(jnp.float32), Ho, Wo, *banded
         ).astype(out_dtype)
     y = jnp.arange(H, dtype=jnp.float32)  # source rows (pass 1)
     i = jnp.arange(Ho, dtype=jnp.float32)  # output rows (pass 2)

@@ -211,3 +211,98 @@ def test_cutout_split_path_exact_when_augs_are_integer_maps():
         aug.random_geometry = orig
         cutmod.random_geometry = orig
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+class TestBandedPath:
+    """Block-banded windowed contraction (IMAGEGEN_WARP_BANDED=1,
+    VERDICT.md round-4 next #3): same tent weights as the dense path,
+    gathered (scanline, block) source windows instead of the full
+    (O, K) grid — must agree with the dense path on the whole v2 aug
+    geometry distribution."""
+
+    def _banded(self, monkeypatch, bo=None, wb=None):
+        monkeypatch.setenv("IMAGEGEN_WARP_BANDED", "1")
+        if bo is not None:
+            monkeypatch.setenv("IMAGEGEN_WARP_BAND_BO", str(bo))
+        if wb is not None:
+            monkeypatch.setenv("IMAGEGEN_WARP_BAND_WB", str(wb))
+
+    def test_matches_dense_on_aug_distribution(self, monkeypatch):
+        from imagegenerator_tpu.v2.augment import random_geometry
+
+        img = jax.random.uniform(jax.random.key(5), (6, 32, 32, 3))
+        # always-fire affine+perspective: the hardest (steepest) maps
+        Ms = random_geometry(
+            jax.random.key(6), 6, 32, 32, p_affine=1.0, p_persp=1.0
+        )
+        dense = warp_homography_2pass(img, Ms)
+        self._banded(monkeypatch)
+        banded = warp_homography_2pass(img, Ms)
+        # tolerance: identical tent weights, but the windowed einsum
+        # reassociates the bf16 contraction (bf16 eps ~4e-3 at these
+        # magnitudes), and blocks crossing a Mobius pole (steep
+        # perspective rows) clamp to the window edge — measured 0.08%
+        # of elements off by <4e-3 at p_affine=p_persp=1
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), atol=5e-3
+        )
+        assert float(np.abs(np.asarray(banded) - np.asarray(dense)).mean()) < 1e-4
+
+    def test_matches_dense_rectangular_and_nondivisible(self, monkeypatch):
+        """Rectangular out_shape whose dims do NOT divide the block size
+        (exercises the block padding) on a rotation+translation map."""
+        from imagegenerator_tpu.v2.augment import affine_homography
+
+        img = jax.random.uniform(jax.random.key(7), (2, 40, 28, 3))
+        M = affine_homography(40, 28, jnp.asarray(17.0), jnp.array([2.0, -1.5]))
+        Ms = jnp.broadcast_to(M, (2, 3, 3))
+        dense = warp_homography_2pass(img, Ms, out_shape=(27, 23))
+        self._banded(monkeypatch, bo=16, wb=32)
+        banded = warp_homography_2pass(img, Ms, out_shape=(27, 23))
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), atol=5e-3
+        )
+        assert float(np.abs(np.asarray(banded) - np.asarray(dense)).mean()) < 1e-4
+
+    def test_identity_exact(self, monkeypatch):
+        img = jax.random.uniform(jax.random.key(8), (2, 32, 32, 3))
+        self._banded(monkeypatch)
+        out = warp_homography_2pass(
+            img, jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(img), atol=1e-2
+        )
+
+    def test_gradients_match_dense(self, monkeypatch):
+        from imagegenerator_tpu.v2.augment import random_geometry
+
+        img = jax.random.uniform(jax.random.key(9), (2, 24, 24, 3))
+        Ms = random_geometry(
+            jax.random.key(10), 2, 24, 24, p_affine=1.0, p_persp=1.0
+        )
+
+        def loss(x):
+            return jnp.sum(warp_homography_2pass(x, Ms) ** 2)
+
+        g_dense = jax.grad(loss)(img)
+        self._banded(monkeypatch)
+        g_banded = jax.grad(loss)(img)
+        # grads route through the transposed windowed einsum + a coarse
+        # windowed scatter-add; differences are bf16 cotangent rounding
+        # (measured max ~8e-3 = bf16 eps at grad magnitude ~2)
+        np.testing.assert_allclose(
+            np.asarray(g_banded), np.asarray(g_dense), atol=2e-2
+        )
+        assert float(np.abs(np.asarray(g_banded) - np.asarray(g_dense)).mean()) < 1e-3
+
+    def test_width_capped_at_source_size(self, monkeypatch):
+        """width > K degrades to a full-width window (still correct)."""
+        img = jax.random.uniform(jax.random.key(11), (1, 16, 16, 3))
+        Ms = jnp.broadcast_to(jnp.eye(3), (1, 3, 3))
+        dense = warp_homography_2pass(img, Ms)
+        self._banded(monkeypatch, bo=8, wb=64)
+        banded = warp_homography_2pass(img, Ms)
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), atol=1e-6
+        )

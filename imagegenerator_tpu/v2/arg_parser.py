@@ -57,6 +57,18 @@ def get_parser(default_image_size: int = 128) -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the optimization "
                         "loop into this directory (xprof / TensorBoard "
                         "profile plugin)")
+    p.add_argument("--state", type=str, default=None, dest="state_path",
+                   help="Path of an npz resume snapshot: the latent + "
+                        "optimizer state is saved here at every "
+                        "--save_every checkin (atomic tmp+rename) and on "
+                        "completion, and restored at startup when the "
+                        "file exists — an interrupted run relaunched "
+                        "with the same command continues where it "
+                        "stopped, with the identical per-iteration key "
+                        "schedule when the same --seed is given (keys "
+                        "fold the saved step counter). "
+                        "The reference's v2 path has no checkpointing; "
+                        "this is an extension (off unless given)")
     p.add_argument("--rng_impl", type=str, default=None,
                    choices=["threefry2x32", "rbg"], dest="rng_impl",
                    help="PRNG impl for the run key (typed keys carry their "

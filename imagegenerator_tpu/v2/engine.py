@@ -231,6 +231,7 @@ class GenerateEngine:
         display_freq: int = 20,
         checkin=None,
         progress=None,
+        state_callback=None,
     ) -> LatentState:
         """Driver loop: each ``display_freq`` window of iterations runs as
         ONE device dispatch (``chain``); the host only syncs at checkins.
@@ -244,12 +245,28 @@ class GenerateEngine:
         generate.py:185-188): called once per chain window with the LAST
         iteration's per-prompt losses (B, P). The losses of window k are
         fetched only after window k+1 is enqueued, so progress costs no
-        device idle time."""
+        device idle time.
+
+        ``state_callback(iters_done, state)`` is the resume surface
+        (round 5): called at the checkin cadence and once more with the
+        final state. The state it receives is a device COPY snapshotted
+        before the next chain donates the live buffers, and the callback
+        runs after that chain is enqueued — so fetching it (e.g.
+        ``save_latent_state``) overlaps device compute like the checkin
+        readbacks do."""
         i = 0
         pending = None  # (iters_done, device losses of the finished chain)
+        last_state_save = None
         while True:
-            do_checkin = checkin is not None and i % display_freq == 0
-            if do_checkin:
+            do_checkin = (
+                checkin is not None or state_callback is not None
+            ) and i % display_freq == 0
+            saved = None
+            if do_checkin and state_callback is not None:
+                # tiny (z + Adam moments); copied so the chain below can
+                # donate the live state
+                saved = (i, jax.tree.map(jnp.copy, state))
+            if do_checkin and checkin is not None:
                 # dispatch only — the host fetch happens AFTER the next
                 # chain is enqueued, so the readback round-trip overlaps
                 # device compute instead of stalling it (donation of
@@ -269,15 +286,73 @@ class GenerateEngine:
                 done, dev_losses = pending
                 progress(done, iterations, np.asarray(dev_losses))
             pending = (i + n, chain_losses[-1]) if i < iterations else None
-            if do_checkin:
+            if do_checkin and checkin is not None:
                 checkin(i, np.asarray(imgs), np.asarray(losses))
+            if saved is not None:
+                state_callback(*saved)
+                last_state_save = saved[0]
             if i >= iterations:
                 # the final chain's progress was flushed above on this
                 # pass (pending only becomes None after the flush), so
                 # nothing is left to report
                 break
             i += n
+        if state_callback is not None and last_state_save != iterations:
+            state_callback(iterations, state)
         return state
+
+
+def save_latent_state(path: str, iters_done: int, state: LatentState) -> None:
+    """Atomic npz snapshot of a LatentState plus its completed-iteration
+    count — the v2 resume surface (round 5; a capability the reference
+    does not have: its v2 path checkpoints nothing, output images are
+    the only artifact, generate.py:184-195). Saved as flattened pytree
+    leaves so the layout tracks whatever optimizer state optax carries,
+    with no structure-specific coupling. Write is tmp+rename so an
+    interrupt mid-save cannot corrupt an existing snapshot."""
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+    payload = {f"leaf_{i}": a for i, a in enumerate(leaves)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            iters_done=np.int64(iters_done),
+            n_leaves=np.int64(len(leaves)),
+            **payload,
+        )
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_latent_state(path: str, template: LatentState):
+    """Restore ``(iters_done, LatentState)`` written by
+    :func:`save_latent_state`. ``template`` supplies the pytree
+    structure, dtypes, and shardings (build it with
+    ``engine.init_state(z)`` for the same geometry); leaf shapes are
+    validated so a resume against a different size/batch/optimizer
+    fails with a clear error instead of corrupt math."""
+    with np.load(path) as d:
+        iters_done = int(d["iters_done"])
+        n = int(d["n_leaves"])
+        loaded = [d[f"leaf_{i}"] for i in range(n)]
+    t_leaves, tdef = jax.tree.flatten(template)
+    if len(t_leaves) != n:
+        raise ValueError(
+            f"state file {path} holds {n} leaves; the current engine "
+            f"state has {len(t_leaves)} — different optimizer or version"
+        )
+    restored = []
+    for k, (got, want) in enumerate(zip(loaded, t_leaves)):
+        if tuple(got.shape) != tuple(jnp.shape(want)):
+            raise ValueError(
+                f"state leaf {k}: file shape {tuple(got.shape)} != "
+                f"expected {tuple(jnp.shape(want))} (different image "
+                "size, batch, or codebook geometry)"
+            )
+        want = jnp.asarray(want)
+        restored.append(jax.device_put(got.astype(want.dtype), want.sharding))
+    return iters_done, jax.tree.unflatten(tdef, restored)
 
 
 def pad_prompt_specs(

@@ -192,6 +192,27 @@ def main(argv=None):
 
     state = engine.init_state(z)
 
+    # --state: resume snapshot (round-5 extension — the reference v2
+    # checkpoints nothing). Restoring AFTER init_state gives
+    # load_latent_state the template's shapes/dtypes/shardings, so a
+    # mismatched resume (size/batch/optimizer) errors clearly.
+    it0 = 0
+    state_callback = None
+    if args.state_path:
+        from imagegenerator_tpu.v2.engine import (
+            load_latent_state,
+            save_latent_state,
+        )
+
+        if os.path.exists(args.state_path):
+            it0, state = load_latent_state(args.state_path, state)
+            print(f"Resumed state at iteration {it0} from {args.state_path}")
+
+        def state_callback(i, st):
+            save_latent_state(args.state_path, it0 + i, st)
+
+    remaining = max(0, args.max_iterations - it0)
+
     stem, ext = os.path.splitext(args.output)
 
     def out_path(i: int) -> str:
@@ -202,7 +223,10 @@ def main(argv=None):
             per_prompt = losses[b, : max(1, len(prompts))]
             loss_str = ", ".join(f"{v:g}" for v in per_prompt)
             prefix = f"[{b}] " if batch > 1 else ""
-            print(f"{prefix}i: {i}, loss: {per_prompt.sum():g}, losses: {loss_str}")
+            print(
+                f"{prefix}i: {it0 + i}, loss: {per_prompt.sum():g}, "
+                f"losses: {loss_str}"
+            )
             save_png(out_path(b), imgs[b], f"{prompts}")
 
     def progress(done, total, last_losses):
@@ -212,7 +236,10 @@ def main(argv=None):
             f"{last_losses[b, : max(1, len(p))].sum():g}"
             for b, p in enumerate(prompt_sets)
         ]
-        print(f"progress: {done}/{total} iterations, loss: {', '.join(per_image)}")
+        print(
+            f"progress: {it0 + done}/{args.max_iterations} iterations, "
+            f"loss: {', '.join(per_image)}"
+        )
 
     import contextlib
 
@@ -229,10 +256,11 @@ def main(argv=None):
                 embeds,
                 w_arr,
                 s_arr,
-                iterations=args.max_iterations,
+                iterations=remaining,
                 display_freq=args.display_freq,
                 checkin=checkin,
                 progress=progress,
+                state_callback=state_callback,
             )
     except KeyboardInterrupt:
         pass  # reference generate.py:194-195

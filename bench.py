@@ -58,8 +58,12 @@ Env knobs:
   BENCH_SUBPROC (default 1) 1 = the default "all" run orchestrates one
                watchdogged subprocess per bench; 0 = legacy in-process
                sequential run (SIGALRM-guarded, best-effort)
-  BENCH_BUDGET_S (default 1500) total wall budget for the "all" run;
-               benches that would not fit emit a skipped_budget line
+  BENCH_BUDGET_S (default 840) total wall budget for the "all" run;
+               benches that would not fit emit a skipped_budget line.
+               Sized to self-terminate (rc 0, explicit skip/timeout
+               lines) under the driver's external kill — round 4's
+               artifact died rc 124 with zero device metrics; a
+               truncated-but-explicit tail always beats an opaque kill
   BENCH_SUB_TIMEOUT override every per-bench watchdog timeout (seconds)
   BENCH_SESSION_ROOFLINE (set by the orchestrator) adopt this roofline
                instead of probing; BENCH_CHILD_TIMEOUT (ditto) arms the
@@ -1074,7 +1078,7 @@ def _orchestrate():
     import subprocess
     import threading
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "840"))
     sub_tmo = float(os.environ.get("BENCH_SUB_TIMEOUT", "0") or 0)
     results = {}
     roofline = [None]

@@ -14,8 +14,8 @@ against their captions, or compare a generated set against a real set.
     python evaluate.py --samples samples/ --ref real_images/ \
         --clip_checkpoint ViT-B-32.pt
 
-Inputs are a directory of PNG/JPEG files or an ``.npz`` with an
-``images`` array (N, H, W, 3), uint8 or [0,1] float. Captions are
+Inputs are a directory of PNG/JPEG files, a single image file, or an
+``.npz`` with an ``images`` array (N, H, W, 3), uint8 or [0,1] float. Captions are
 ``|``-separated like the v2 prompt flag (arg_parser.py:10-14), or
 ``@path`` for one-per-line files; one caption broadcasts to all
 samples. Without ``--clip_checkpoint`` the tower falls back to the
@@ -61,7 +61,14 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def load_image_set(path: str) -> np.ndarray:
-    """Directory of images or .npz -> (N, H, W, 3) float32 in [0,1]."""
+    """Directory of images, a single image file, or .npz ->
+    (N, H, W, 3) float32 in [0,1]."""
+    if os.path.isfile(path) and not path.endswith(".npz"):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        return arr[None].astype(np.float32) / 255.0
     if path.endswith(".npz"):
         with np.load(path) as z:
             if "images" not in z:

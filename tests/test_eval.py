@@ -172,6 +172,15 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert json.loads(out_path.read_text()) == result
 
 
+def test_load_image_set_single_file(tmp_path):
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (1, 20, 20, 3), np.uint8)
+    _write_pngs(tmp_path, img)
+    loaded = eval_cli.load_image_set(str(tmp_path / "000.png"))
+    assert loaded.shape == (1, 20, 20, 3)
+    np.testing.assert_allclose(loaded, img.astype(np.float32) / 255.0)
+
+
 def test_cli_caption_broadcast_and_errors(tmp_path):
     rng = np.random.default_rng(8)
     _write_pngs(

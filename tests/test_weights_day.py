@@ -83,6 +83,12 @@ def test_weights_day_dry_run(synthetic_files, tmp_path):
     assert (out / "bert_cls.npz").exists()
     assert (out / "weights_day_sample.png").exists()
     assert (out / "MANIFEST.json").exists()
+    import json
+
+    manifest = json.loads((out / "MANIFEST.json").read_text())
+    assert manifest["validated"] == [
+        "vqgan", "clip", "bert", "generation", "eval",
+    ]
 
 
 def test_weights_day_requires_some_input():

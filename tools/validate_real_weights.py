@@ -14,7 +14,7 @@ files appear, run:
         --clip_checkpoint checkpoints/ViT-B-32.pt \
         --bert_checkpoint checkpoints/spanbert/pytorch_model.bin \
         --bpe_vocab checkpoints/bpe_simple_vocab_16e6.txt.gz \
-        --out weights_day/
+        --out weights_day/ --strict
 
 Every section is optional — pass whichever files you have. Steps per
 file: convert -> structural checks -> deterministic forward smoke ->
@@ -167,7 +167,7 @@ def real_generation(args, out_dir: str) -> None:
     _section("real generation (v2 CLI path)")
     out_png = os.path.join(out_dir, "weights_day_sample.png")
     argv = [
-        "-p", "a watercolor painting of a fox in a snowy forest",
+        "-p", _EVAL_PROMPT,
         "-i", str(args.iterations),
         "-se", str(args.iterations),
         "-sd", "123456",
@@ -184,6 +184,44 @@ def real_generation(args, out_dir: str) -> None:
     print(f"sample written: {out_png}")
 
 
+_EVAL_PROMPT = "a watercolor painting of a fox in a snowy forest"
+_EVAL_FOIL = "a spreadsheet of quarterly earnings figures"
+
+
+def validate_eval(args, out_dir: str) -> None:
+    """CLIPScore discrimination on the weights-day sample: the matched
+    prompt must outscore an unrelated foil (real weights only — a
+    random tower can't discriminate, so a dry run just prints both).
+    Exercises the evaluation subsystem (imagegenerator_tpu/eval/)
+    against the same checkpoint files the generation used."""
+    from imagegenerator_tpu.eval import cli as eval_cli
+
+    _section("evaluation (CLIPScore on the weights-day sample)")
+    sample_png = os.path.join(out_dir, "weights_day_sample.png")
+    base = ["--samples", sample_png, "-m", args.clip_model]
+    if args.clip_checkpoint:
+        base += ["--clip_checkpoint", args.clip_checkpoint]
+    if args.bpe_vocab:
+        base += ["--bpe_vocab", args.bpe_vocab]
+    matched = eval_cli.main(base + ["--captions", _EVAL_PROMPT])
+    foil = eval_cli.main(base + ["--captions", _EVAL_FOIL])
+    ok = matched["clip_score"] > foil["clip_score"]
+    print(
+        f"CLIPScore matched prompt: {matched['clip_score']:.2f}, "
+        f"foil: {foil['clip_score']:.2f} -> "
+        f"{'DISCRIMINATES' if ok else 'no discrimination'}"
+    )
+    if args.strict:
+        # weights-day runs pass --strict: published CLIP weights must
+        # rank the generation's own prompt above an unrelated foil
+        # (synthetic/random test checkpoints can't, so the dry run
+        # only reports)
+        assert ok, (
+            "CLIP weights failed to rank the generation's own prompt "
+            "above an unrelated foil"
+        )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--vqgan_config", default=None)
@@ -194,6 +232,10 @@ def main(argv=None) -> None:
     p.add_argument("--bpe_vocab", default=None)
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--out", default="weights_day")
+    p.add_argument("--strict", action="store_true",
+                   help="assert semantic checks that only hold for real "
+                        "published weights (e.g. CLIPScore prompt "
+                        "discrimination) — use on weights day")
     args = p.parse_args(argv)
 
     ran = []
@@ -209,6 +251,8 @@ def main(argv=None) -> None:
     if "vqgan" in ran and "clip" in ran:
         real_generation(args, args.out)
         ran.append("generation")
+        validate_eval(args, args.out)
+        ran.append("eval")
     if not ran:
         p.error("no checkpoint paths given — nothing to validate")
     manifest = os.path.join(args.out, "MANIFEST.json")

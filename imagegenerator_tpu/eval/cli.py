@@ -53,6 +53,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="CLIP BPE vocab (v2 --bpe_vocab); hash fallback "
                         "when absent")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each embedding batch over this many "
+                        "devices (data-parallel mesh; --batch must "
+                        "divide evenly)")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="f32")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--out", default=None,
@@ -133,6 +137,11 @@ def main(argv=None):
         get_parser().error("nothing to compute: give --ref, --captions, "
                            "or both")
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    mesh = None
+    if args.dp > 1:
+        from imagegenerator_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
 
     samples = load_image_set(args.samples)
     cfg, params = load_clip(
@@ -149,7 +158,7 @@ def main(argv=None):
         "real_weights": real_weights,
     }
     sample_emb = clip_eval.image_embeddings(
-        cfg, params, samples, batch_size=args.batch, dtype=dtype
+        cfg, params, samples, batch_size=args.batch, dtype=dtype, mesh=mesh
     )
 
     if args.captions is not None:
@@ -159,7 +168,7 @@ def main(argv=None):
         )
         tokens = np.concatenate([tokenizer([c]) for c in caps], axis=0)
         text_emb = clip_eval.text_embeddings(
-            cfg, params, tokens, batch_size=args.batch, dtype=dtype
+            cfg, params, tokens, batch_size=args.batch, dtype=dtype, mesh=mesh
         )
         result["clip_score"] = round(
             clip_eval.clip_score(sample_emb, text_emb), 4
@@ -168,7 +177,7 @@ def main(argv=None):
     if args.ref is not None:
         ref = load_image_set(args.ref)
         ref_emb = clip_eval.image_embeddings(
-            cfg, params, ref, batch_size=args.batch, dtype=dtype
+            cfg, params, ref, batch_size=args.batch, dtype=dtype, mesh=mesh
         )
         result["n_ref"] = int(ref.shape[0])
         result["frechet_clip_distance"] = round(

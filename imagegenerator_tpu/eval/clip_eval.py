@@ -35,12 +35,30 @@ from imagegenerator_tpu.v2.clip import CLIP, normalize_image
 __all__ = ["image_embeddings", "text_embeddings", "clip_score"]
 
 
+def _shardings(mesh):
+    """(replicated params, batch-sharded data) NamedShardings, or
+    (None, None) for single-device jit. Extraction is embarrassingly
+    data-parallel: params replicate, the batch splits over the mesh's
+    ``data`` axis, zero collectives — the same DP recipe as the
+    trainers (parallel/mesh.py)."""
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
 @functools.lru_cache(maxsize=8)
-def _embed_image_fn(cfg, dtype):
+def _embed_image_fn(cfg, dtype, mesh=None):
     model = CLIP(cfg, dtype=dtype)
     res = cfg.image_resolution
+    rep, dp = _shardings(mesh)
 
-    @jax.jit
+    @functools.partial(
+        jax.jit,
+        **({} if mesh is None else {"in_shardings": (rep, dp),
+                                    "out_shardings": dp}),
+    )
     def fn(params, images01):
         x = images01.astype(jnp.float32)
         if x.shape[1] != res or x.shape[2] != res:
@@ -59,10 +77,15 @@ def _embed_image_fn(cfg, dtype):
 
 
 @functools.lru_cache(maxsize=8)
-def _embed_text_fn(cfg, dtype):
+def _embed_text_fn(cfg, dtype, mesh=None):
     model = CLIP(cfg, dtype=dtype)
+    rep, dp = _shardings(mesh)
 
-    @jax.jit
+    @functools.partial(
+        jax.jit,
+        **({} if mesh is None else {"in_shardings": (rep, dp),
+                                    "out_shardings": dp}),
+    )
     def fn(params, tokens):
         emb = model.apply(
             {"params": params}, tokens, method=CLIP.encode_text
@@ -89,20 +112,39 @@ def _batched(fn, params, arrays, batch_size):
     return np.concatenate(out, axis=0)
 
 
-def image_embeddings(cfg, params, images01, batch_size: int = 32, dtype=None):
-    """(N, H, W, 3) [0,1] images -> (N, embed_dim) float32 CLIP embeds."""
+def _check_mesh_batch(mesh, batch_size):
+    if mesh is not None and batch_size % mesh.devices.size:
+        raise ValueError(
+            f"batch_size {batch_size} must divide evenly over the "
+            f"{mesh.devices.size}-device mesh"
+        )
+
+
+def image_embeddings(
+    cfg, params, images01, batch_size: int = 32, dtype=None, mesh=None
+):
+    """(N, H, W, 3) [0,1] images -> (N, embed_dim) float32 CLIP embeds.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+    each fixed-shape batch shards over it (params replicated)."""
     images01 = np.asarray(images01, np.float32)
     if images01.ndim != 4 or images01.shape[-1] != 3:
         raise ValueError(f"expected (N, H, W, 3) images, got {images01.shape}")
+    _check_mesh_batch(mesh, batch_size)
     return _batched(
-        _embed_image_fn(cfg, dtype), params, images01, batch_size
+        _embed_image_fn(cfg, dtype, mesh), params, images01, batch_size
     )
 
 
-def text_embeddings(cfg, params, tokens, batch_size: int = 64, dtype=None):
+def text_embeddings(
+    cfg, params, tokens, batch_size: int = 64, dtype=None, mesh=None
+):
     """(N, context_length) int tokens -> (N, embed_dim) float32."""
     tokens = np.asarray(tokens, np.int32)
-    return _batched(_embed_text_fn(cfg, dtype), params, tokens, batch_size)
+    _check_mesh_batch(mesh, batch_size)
+    return _batched(
+        _embed_text_fn(cfg, dtype, mesh), params, tokens, batch_size
+    )
 
 
 def clip_score(image_embeds, text_embeds) -> float:

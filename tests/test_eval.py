@@ -129,6 +129,48 @@ def test_text_embeddings_pad_batching(tiny_clip):
     np.testing.assert_allclose(small, big, atol=1e-5)
 
 
+def test_image_embeddings_mesh_matches_single_device(tiny_clip):
+    # the DP recipe of the trainers applied to eval extraction: batch
+    # sharded over the virtual 8-device mesh, params replicated, zero
+    # collectives — numerics must match the unsharded path
+    from imagegenerator_tpu.parallel.mesh import make_mesh
+
+    cfg, params = tiny_clip
+    rng = np.random.default_rng(10)
+    imgs = rng.random((8, cfg.image_resolution, cfg.image_resolution, 3),
+                      np.float32)
+    toks = rng.integers(0, cfg.vocab_size, (8, cfg.context_length))
+    mesh = make_mesh(8)
+    plain_i = clip_eval.image_embeddings(cfg, params, imgs, batch_size=8)
+    mesh_i = clip_eval.image_embeddings(
+        cfg, params, imgs, batch_size=8, mesh=mesh
+    )
+    np.testing.assert_allclose(mesh_i, plain_i, atol=2e-5)
+    plain_t = clip_eval.text_embeddings(cfg, params, toks, batch_size=8)
+    mesh_t = clip_eval.text_embeddings(
+        cfg, params, toks, batch_size=8, mesh=mesh
+    )
+    np.testing.assert_allclose(mesh_t, plain_t, atol=2e-5)
+    with pytest.raises(ValueError):  # 3 does not divide over 8 devices
+        clip_eval.image_embeddings(
+            cfg, params, imgs, batch_size=3, mesh=mesh
+        )
+
+
+def test_cli_dp_mesh(tmp_path):
+    rng = np.random.default_rng(11)
+    np.savez(
+        tmp_path / "gen.npz",
+        images=rng.integers(0, 255, (4, 16, 16, 3), np.uint8),
+    )
+    result = eval_cli.main([
+        "--samples", str(tmp_path / "gen.npz"),
+        "--captions", "dp-sharded evaluation",
+        "--batch", "4", "--dp", "2",
+    ])
+    assert np.isfinite(result["clip_score"])
+
+
 def test_clip_score_closed_forms():
     e = np.eye(4)[:2]  # two orthogonal unit rows
     assert clip_eval.clip_score(e, e) == pytest.approx(100.0)

@@ -15,7 +15,9 @@ against their captions, or compare a generated set against a real set.
         --clip_checkpoint ViT-B-32.pt
 
 Inputs are a directory of PNG/JPEG files, a single image file, or an
-``.npz`` with an ``images`` array (N, H, W, 3), uint8 or [0,1] float. Captions are
+``.npz`` with an ``images`` array (N, H, W, 3), uint8 or [0,1] float —
+streamed batch-wise (one embedding pass feeds both metrics; nothing
+larger than a batch is resident, so 50k-image sets fit). Captions are
 ``|``-separated like the v2 prompt flag (arg_parser.py:10-14), or
 ``@path`` for one-per-line files; one caption broadcasts to all
 samples. Without ``--clip_checkpoint`` the tower falls back to the
@@ -64,49 +66,81 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_image_set(path: str) -> np.ndarray:
-    """Directory of images, a single image file, or .npz ->
-    (N, H, W, 3) float32 in [0,1]."""
-    if os.path.isfile(path) and not path.endswith(".npz"):
+class ImageSet:
+    """Lazy image source: a directory of images, a single image file,
+    or an .npz with an ``images`` array. ``batches(b)`` yields [0,1]
+    float32 (<=b, H, W, 3) chunks without ever materializing the whole
+    set — a 50k-image CLIP-FID reference set streams through the
+    embedding loop at batch-size memory (the point of
+    ``frechet.FeatureMoments``)."""
+
+    _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+    def __init__(self, path: str):
+        self.path = path
+        self._npz = None
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                if "images" not in z:
+                    raise ValueError(f"{path} has no 'images' array")
+                shape = z["images"].shape
+            if len(shape) != 4 or shape[-1] != 3:
+                raise ValueError(
+                    f"{path}: expected (N, H, W, 3), got {shape}"
+                )
+            self._names = None
+            self._n = shape[0]
+        elif os.path.isfile(path):
+            self._names = [path]
+            self._n = 1
+        else:
+            self._names = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.lower().endswith(self._EXTS)
+            ]
+            if not self._names:
+                raise ValueError(f"no images found in {path}")
+            self._n = len(self._names)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _decode(self, path: str, size):
         from PIL import Image
 
         with Image.open(path) as im:
-            arr = np.asarray(im.convert("RGB"), np.uint8)
-        return arr[None].astype(np.float32) / 255.0
-    if path.endswith(".npz"):
-        with np.load(path) as z:
-            if "images" not in z:
-                raise ValueError(f"{path} has no 'images' array")
-            imgs = z["images"]
-        if imgs.dtype == np.uint8:
-            imgs = imgs.astype(np.float32) / 255.0
-        imgs = np.asarray(imgs, np.float32)
-        if imgs.ndim != 4 or imgs.shape[-1] != 3:
-            raise ValueError(
-                f"{path}: expected (N, H, W, 3), got {imgs.shape}"
-            )
-        return imgs
-    from PIL import Image
-
-    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
-    names = sorted(
-        f for f in os.listdir(path) if f.lower().endswith(exts)
-    )
-    if not names:
-        raise ValueError(f"no images found in {path}")
-    out = []
-    size = None
-    for name in names:
-        with Image.open(os.path.join(path, name)) as im:
             im = im.convert("RGB")
-            if size is None:
-                size = im.size
-            elif im.size != size:
+            if size is not None and im.size != size:
                 # mixed sizes: conform to the first image; the device
                 # path resizes to the CLIP resolution regardless
                 im = im.resize(size, Image.BICUBIC)
-            out.append(np.asarray(im, np.uint8))
-    return np.stack(out).astype(np.float32) / 255.0
+            return np.asarray(im, np.uint8), im.size
+
+    def batches(self, batch_size: int):
+        if self._names is None:
+            with np.load(self.path) as z:
+                imgs = z["images"]
+                for s in range(0, self._n, batch_size):
+                    chunk = np.asarray(imgs[s : s + batch_size])
+                    if chunk.dtype == np.uint8:
+                        chunk = chunk.astype(np.float32) / 255.0
+                    yield np.asarray(chunk, np.float32)
+            return
+        size = None
+        for s in range(0, self._n, batch_size):
+            out = []
+            for name in self._names[s : s + batch_size]:
+                arr, size0 = self._decode(name, size)
+                size = size or size0
+                out.append(arr)
+            yield np.stack(out).astype(np.float32) / 255.0
+
+
+def load_image_set(path: str) -> np.ndarray:
+    """Eager (N, H, W, 3) float32 [0,1] load — small sets / tests; the
+    CLI itself streams via ImageSet.batches."""
+    return np.concatenate(list(ImageSet(path).batches(64)), axis=0)
 
 
 def parse_captions(spec: str, n_samples: int) -> list:
@@ -143,7 +177,7 @@ def main(argv=None):
 
         mesh = make_mesh(args.dp)
 
-    samples = load_image_set(args.samples)
+    samples = ImageSet(args.samples)
     cfg, params = load_clip(
         args.clip_model, args.clip_checkpoint,
         jax.random.PRNGKey(args.seed),
@@ -153,37 +187,65 @@ def main(argv=None):
     )
 
     result = {
-        "n_samples": int(samples.shape[0]),
+        "n_samples": len(samples),
         "clip_model": args.clip_model if real_weights else "tiny-random",
         "real_weights": real_weights,
     }
-    sample_emb = clip_eval.image_embeddings(
-        cfg, params, samples, batch_size=args.batch, dtype=dtype, mesh=mesh
-    )
 
+    # captions: tokenize + embed each UNIQUE caption once (a broadcast
+    # caption is one tokenization and one text forward, review round 5)
+    te_n = idx = None
     if args.captions is not None:
-        caps = parse_captions(args.captions, samples.shape[0])
+        caps = parse_captions(args.captions, len(samples))
+        unique = list(dict.fromkeys(caps))
         tokenizer = open_tokenizer(
             args.bpe_vocab, cfg.context_length, cfg.vocab_size
         )
-        tokens = np.concatenate([tokenizer([c]) for c in caps], axis=0)
-        text_emb = clip_eval.text_embeddings(
-            cfg, params, tokens, batch_size=args.batch, dtype=dtype, mesh=mesh
+        te = clip_eval.text_embeddings(
+            cfg, params, tokenizer(unique),
+            batch_size=args.batch, dtype=dtype, mesh=mesh,
+        ).astype(np.float64)
+        te_n = te / np.linalg.norm(te, axis=-1, keepdims=True)
+        cap_row = {c: i for i, c in enumerate(unique)}
+        idx = np.asarray([cap_row[c] for c in caps])
+
+    # one streaming pass over the samples: every batch is embedded
+    # once and feeds both metrics (moments for Fréchet, cosine sums
+    # for CLIPScore) — nothing larger than a batch is ever resident
+    moments = (
+        frechet.FeatureMoments(cfg.embed_dim)
+        if args.ref is not None
+        else None
+    )
+    score_sum, pos = 0.0, 0
+    for chunk in samples.batches(args.batch):
+        emb = clip_eval.image_embeddings(
+            cfg, params, chunk,
+            batch_size=args.batch, dtype=dtype, mesh=mesh,
         )
-        result["clip_score"] = round(
-            clip_eval.clip_score(sample_emb, text_emb), 4
-        )
+        if moments is not None:
+            moments.update(emb)
+        if te_n is not None:
+            ie = np.asarray(emb, np.float64)
+            ie /= np.linalg.norm(ie, axis=-1, keepdims=True)
+            cos = (ie * te_n[idx[pos : pos + len(emb)]]).sum(axis=-1)
+            score_sum += np.maximum(cos, 0.0).sum()
+        pos += len(emb)
+    if te_n is not None:
+        result["clip_score"] = round(100.0 * score_sum / len(samples), 4)
 
     if args.ref is not None:
-        ref = load_image_set(args.ref)
-        ref_emb = clip_eval.image_embeddings(
-            cfg, params, ref, batch_size=args.batch, dtype=dtype, mesh=mesh
-        )
-        result["n_ref"] = int(ref.shape[0])
+        ref = ImageSet(args.ref)
+        ref_moments = frechet.FeatureMoments(cfg.embed_dim)
+        for chunk in ref.batches(args.batch):
+            ref_moments.update(clip_eval.image_embeddings(
+                cfg, params, chunk,
+                batch_size=args.batch, dtype=dtype, mesh=mesh,
+            ))
+        result["n_ref"] = len(ref)
         result["frechet_clip_distance"] = round(
             frechet.frechet_distance(
-                *frechet.gaussian_stats(sample_emb),
-                *frechet.gaussian_stats(ref_emb),
+                *moments.stats(), *ref_moments.stats()
             ),
             6,
         )

@@ -87,7 +87,7 @@ def get_parser() -> argparse.ArgumentParser:
                         "matched twin's dropout sample instead of the "
                         "reference's fresh draw")
     p.add_argument("--dropout_bits", type=int, choices=[8, 16, 32],
-                   default=32,
+                   default=None,
                    help="mask-draw width for the text encoder's hidden-"
                         "dropout sites: 32 = nn.Dropout's f32-uniform "
                         "compare (default); 16/8 draw uint16/uint8 bits "
@@ -186,7 +186,7 @@ def main(argv=None):
         )
     if (
         args.gelu != "exact" or args.fused_ln or args.fused_attn
-        or args.dropout_bits != 32
+        or args.dropout_bits is not None
     ):
         import dataclasses as _dc
 
@@ -197,8 +197,12 @@ def main(argv=None):
             or bert_cfg.gelu_output_bwd,
             fused_ln=args.fused_ln or bert_cfg.fused_ln,
             fused_attention=args.fused_attn or bert_cfg.fused_attention,
+            # None = flag unset -> keep the (checkpoint) config; an
+            # explicit value — INCLUDING 32 — always wins, so the exact
+            # nn.Dropout bitstream stays CLI-reachable over a narrower
+            # checkpoint config (review round 5)
             dropout_bits=args.dropout_bits
-            if args.dropout_bits != 32
+            if args.dropout_bits is not None
             else bert_cfg.dropout_bits,
         )
 

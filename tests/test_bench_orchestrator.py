@@ -145,3 +145,85 @@ def test_budget_exhaustion_emits_skip_lines(tmp_path, monkeypatch, capfd):
     skips = [r for r in lines if r.get("error") == "skipped_budget"]
     assert len(skips) == len(bench._DEFAULT_ORDER)
     assert lines[-1]["error"] == "headline_missing"
+
+
+RETRY_CHILD = r"""
+import json, os, sys
+target = os.environ["BENCH_TARGET"]
+marker = os.environ["RETRY_MARKER"]
+if target == "stage2":
+    if not os.path.exists(marker):
+        open(marker, "w").write("1")
+        print(json.dumps({"metric":
+            "stage2_256px_train_images_per_sec_per_chip",
+            "value": 100.0, "unit": "images/sec/chip"}), flush=True)
+        sys.exit(5)  # emit-then-teardown-crash: line already forwarded
+    print(json.dumps({"metric":
+        "stage2_256px_train_images_per_sec_per_chip",
+        "value": 200.0, "unit": "images/sec/chip"}), flush=True)
+else:
+    print(json.dumps({"metric": target + "_metric", "value": 1.0,
+                      "unit": "x"}), flush=True)
+"""
+
+
+def test_retry_metric_lines_carry_attempt_marker(tmp_path, monkeypatch, capfd):
+    # a headline child that emits its metric and THEN dies non-zero:
+    # the retry's duplicate metric line must be distinguishable
+    bench = _bench()
+    child = tmp_path / "retry_child.py"
+    child.write_text(RETRY_CHILD)
+    monkeypatch.setattr(
+        bench, "_child_argv", lambda: [sys.executable, str(child)]
+    )
+    monkeypatch.setattr(bench, "_T0", time.monotonic())
+    monkeypatch.setenv("RETRY_MARKER", str(tmp_path / "first_ran"))
+    monkeypatch.setenv("BENCH_SUB_TIMEOUT", "10")
+    monkeypatch.setenv("BENCH_BUDGET_S", "300")
+    monkeypatch.delenv("BENCH_BATCH", raising=False)
+    bench._orchestrate()
+    lines = [
+        json.loads(line)
+        for line in capfd.readouterr().out.splitlines()
+        if line.strip()
+    ]
+    stage2 = [
+        r for r in lines
+        if r.get("metric") == "stage2_256px_train_images_per_sec_per_chip"
+        and "error" not in r
+    ]
+    # first attempt's value, the crash error, retry's value, final re-emit
+    assert [r["value"] for r in stage2] == [100.0, 200.0, 200.0]
+    assert "attempt" not in stage2[0]
+    assert stage2[1]["attempt"] == 2
+    assert stage2[2]["reemitted_headline"] is True  # retry's value wins
+    assert any(r.get("error") == "child_exit_5" for r in lines)
+
+
+def test_inprocess_all_run_reemits_headline(monkeypatch, capfd):
+    # BENCH_SUBPROC=0 fallback must keep the driver's last-line
+    # contract: the stage-2 headline is re-printed at the end
+    bench = _bench()
+    fakes = {
+        t: (lambda t=t: bench._emit(t + "_metric", 1.0, "x"))
+        for t, _ in bench._DEFAULT_ORDER
+    }
+    fakes["stage2"] = lambda: bench._emit(
+        "stage2_256px_train_images_per_sec_per_chip", 321.0,
+        "images/sec/chip",
+    )
+    monkeypatch.setattr(bench, "_TARGET_FNS", fakes)
+    monkeypatch.setattr(bench, "_session_roofline", lambda: None)
+    monkeypatch.setattr(bench, "_LAST_RECORDS", {})
+    monkeypatch.setenv("BENCH_TARGET", "all")
+    monkeypatch.setenv("BENCH_SUBPROC", "0")
+    monkeypatch.delenv("BENCH_BATCH", raising=False)
+    bench.main()
+    lines = [
+        json.loads(line)
+        for line in capfd.readouterr().out.splitlines()
+        if line.strip()
+    ]
+    assert lines[-1]["metric"] == "stage2_256px_train_images_per_sec_per_chip"
+    assert lines[-1]["reemitted_headline"] is True
+    assert lines[-1]["value"] == 321.0

@@ -214,6 +214,46 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert json.loads(out_path.read_text()) == result
 
 
+def test_cli_streaming_matches_direct_api(tmp_path):
+    # the CLI's one-pass chunked accumulation (batch 2 over 5 images,
+    # broadcast caption embedded once) must equal the eager API compose
+    import jax
+
+    from imagegenerator_tpu.v2.generate import load_clip
+    from imagegenerator_tpu.v2.tokenizer import open_tokenizer
+
+    rng = np.random.default_rng(12)
+    gen = rng.integers(0, 255, (5, 16, 16, 3), np.uint8)
+    ref = rng.integers(0, 255, (6, 16, 16, 3), np.uint8)
+    np.savez(tmp_path / "gen.npz", images=gen)
+    np.savez(tmp_path / "ref.npz", images=ref)
+    result = eval_cli.main([
+        "--samples", str(tmp_path / "gen.npz"),
+        "--ref", str(tmp_path / "ref.npz"),
+        "--captions", "one broadcast caption",
+        "--batch", "2", "--seed", "3",
+    ])
+
+    cfg, params = load_clip("ViT-B/32", None, jax.random.PRNGKey(3))
+    g01 = gen.astype(np.float32) / 255.0
+    r01 = ref.astype(np.float32) / 255.0
+    ge = clip_eval.image_embeddings(cfg, params, g01, batch_size=2)
+    re = clip_eval.image_embeddings(cfg, params, r01, batch_size=2)
+    tok = open_tokenizer(None, cfg.context_length, cfg.vocab_size)
+    te = clip_eval.text_embeddings(
+        cfg, params, tok(["one broadcast caption"] * 5), batch_size=2
+    )
+    assert result["clip_score"] == pytest.approx(
+        clip_eval.clip_score(ge, te), abs=2e-3
+    )
+    assert result["frechet_clip_distance"] == pytest.approx(
+        frechet.frechet_distance(
+            *frechet.gaussian_stats(ge), *frechet.gaussian_stats(re)
+        ),
+        rel=1e-3,
+    )
+
+
 def test_load_image_set_single_file(tmp_path):
     rng = np.random.default_rng(9)
     img = rng.integers(0, 255, (1, 20, 20, 3), np.uint8)

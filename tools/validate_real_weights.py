@@ -191,24 +191,33 @@ _EVAL_FOIL = "a spreadsheet of quarterly earnings figures"
 def validate_eval(args, out_dir: str) -> None:
     """CLIPScore discrimination on the weights-day sample: the matched
     prompt must outscore an unrelated foil (real weights only — a
-    random tower can't discriminate, so a dry run just prints both).
+    random tower can't discriminate, so a dry run just reports).
     Exercises the evaluation subsystem (imagegenerator_tpu/eval/)
-    against the same checkpoint files the generation used."""
-    from imagegenerator_tpu.eval import cli as eval_cli
+    with ONE model load / ONE image embedding (the two prompts share
+    everything but their text forward)."""
+    import jax
+
+    from imagegenerator_tpu.eval import clip_eval
+    from imagegenerator_tpu.eval.cli import load_image_set
+    from imagegenerator_tpu.v2.generate import load_clip
+    from imagegenerator_tpu.v2.tokenizer import open_tokenizer
 
     _section("evaluation (CLIPScore on the weights-day sample)")
-    sample_png = os.path.join(out_dir, "weights_day_sample.png")
-    base = ["--samples", sample_png, "-m", args.clip_model]
-    if args.clip_checkpoint:
-        base += ["--clip_checkpoint", args.clip_checkpoint]
-    if args.bpe_vocab:
-        base += ["--bpe_vocab", args.bpe_vocab]
-    matched = eval_cli.main(base + ["--captions", _EVAL_PROMPT])
-    foil = eval_cli.main(base + ["--captions", _EVAL_FOIL])
-    ok = matched["clip_score"] > foil["clip_score"]
+    sample = load_image_set(os.path.join(out_dir, "weights_day_sample.png"))
+    cfg, params = load_clip(
+        args.clip_model, args.clip_checkpoint, jax.random.key(2)
+    )
+    tok = open_tokenizer(args.bpe_vocab, cfg.context_length, cfg.vocab_size)
+    tokens = tok([_EVAL_PROMPT, _EVAL_FOIL])
+    if tokens.max() >= cfg.vocab_size:  # dry-run-only, as in validate_clip
+        tokens = tokens % cfg.vocab_size
+    ie = clip_eval.image_embeddings(cfg, params, sample, batch_size=1)
+    te = clip_eval.text_embeddings(cfg, params, tokens, batch_size=2)
+    matched = clip_eval.clip_score(ie, te[:1])
+    foil = clip_eval.clip_score(ie, te[1:])
+    ok = matched > foil
     print(
-        f"CLIPScore matched prompt: {matched['clip_score']:.2f}, "
-        f"foil: {foil['clip_score']:.2f} -> "
+        f"CLIPScore matched prompt: {matched:.2f}, foil: {foil:.2f} -> "
         f"{'DISCRIMINATES' if ok else 'no discrimination'}"
     )
     if args.strict:

@@ -85,6 +85,29 @@ class CheckpointManager:
         except (OSError, ValueError):
             return -1
 
+    def save_with_aux(self, epoch: int, state, aux: dict) -> None:
+        """``save`` with a side pytree (e.g. the trainer's EMA tree):
+        the payload becomes ``{"state": state, "aux": aux}``. Same
+        dual-write + marker contract as ``save``."""
+        self.save(epoch, {"state": state, "aux": aux})
+
+    def restore_latest_with_aux(self, template, aux_template):
+        """Returns (state, aux, start_epoch) from either layout:
+        composite ``{"state", "aux"}`` checkpoints restore both; plain
+        pre-aux checkpoints restore the state and return ``aux=None``
+        so the caller can initialize the side tree (upgrade path)."""
+        epoch = self.latest_epoch()
+        if epoch < 0:
+            return None, None, 0
+        path = self._epoch_dir(epoch)
+        try:
+            r = self._ckptr.restore(
+                path, {"state": template, "aux": aux_template}
+            )
+            return r["state"], r["aux"], epoch + 1
+        except Exception:
+            return self._ckptr.restore(path, template), None, epoch + 1
+
     def restore_latest(self, template):
         """Returns (state, start_epoch). ``template`` is an abstract or
         concrete pytree with the target structure/shapes; start_epoch is
@@ -100,5 +123,13 @@ class CheckpointManager:
         epoch = self.latest_epoch()
         if epoch < 0:
             return None, 0
-        state = self._ckptr.restore(self._epoch_dir(epoch), template)
+        try:
+            state = self._ckptr.restore(self._epoch_dir(epoch), template)
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint at {self._epoch_dir(epoch)} does not match "
+                "the plain state template — if the run was trained with "
+                "EMA enabled (save_with_aux layout), restore with the "
+                "matching side tree (pass --ema)"
+            ) from e
         return state, epoch + 1

@@ -122,6 +122,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the reference's PJRT process-group role)")
+    p.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="keep an exponential moving average of the "
+                        "generator-side params at this decay (e.g. "
+                        "0.999); stored in checkpoints as a side tree "
+                        "and sampled via train.sample --ema "
+                        "(train/ema.py — the reference has no EMA)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the training "
                         "run into this directory (view with xprof / "
@@ -274,6 +280,7 @@ def main(argv=None):
         rng_impl=args.rng_impl,
         checkpoint_dir=f"{args.checkpoint_dir}/Stage{args.stage}",
         logdir=args.logdir,
+        ema_decay=args.ema,
     )
 
     import contextlib

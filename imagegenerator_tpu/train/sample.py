@@ -47,6 +47,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="samples",
                    help="output directory (created if missing)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the EMA averages a --ema training "
+                        "run stored (train/ema.py) instead of the live "
+                        "weights")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (must match a --tiny training "
                         "run)")
@@ -152,7 +156,34 @@ def main(argv=None):
         lambda k: system.init(k, batch_size), jax.random.key(0)
     )
     mgr = CheckpointManager(f"{args.checkpoint_dir}/Stage{args.stage}")
-    state, start_epoch = mgr.restore_latest(template)
+    if args.ema:
+        from imagegenerator_tpu.train import ema as ema_lib
+
+        modules = ema_lib.modules_for_stage(args.stage)
+        aux_t = {"ema": {m: template.params[m] for m in modules}}
+        state, aux, start_epoch = mgr.restore_latest_with_aux(
+            template, aux_t
+        )
+        if state is not None and aux is None:
+            raise SystemExit(
+                "--ema: this checkpoint has no EMA side tree (train "
+                "with --ema DECAY to produce one)"
+            )
+        if aux is not None:
+            state = ema_lib.swap_in(state, aux["ema"])
+    else:
+        try:
+            state, start_epoch = mgr.restore_latest(template)
+        except ValueError:
+            # EMA-layout checkpoint sampled without --ema: restore the
+            # composite and use the live training weights
+            from imagegenerator_tpu.train import ema as ema_lib
+
+            modules = ema_lib.modules_for_stage(args.stage)
+            aux_t = {"ema": {m: template.params[m] for m in modules}}
+            state, _, start_epoch = mgr.restore_latest_with_aux(
+                template, aux_t
+            )
     if state is None:
         raise SystemExit(
             f"no checkpoint found under "

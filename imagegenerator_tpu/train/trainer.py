@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from imagegenerator_tpu.checkpoint import CheckpointManager
+from imagegenerator_tpu.train import ema as ema_lib
 from imagegenerator_tpu.train import stage1 as s1
 from imagegenerator_tpu.train import stage2 as s2
 from imagegenerator_tpu.utils.metrics import MetricsWriter
@@ -39,6 +40,12 @@ class TrainerOptions:
     rng_impl: str | None = None
     checkpoint_dir: str | None = None
     logdir: str | None = None
+    # EMA decay for the generator-side params (None = off). The EMA
+    # tree lives outside the train state (train/ema.py): the jitted
+    # step is untouched and checkpoints grow an {"aux": {"ema": ...}}
+    # side tree (save_with_aux). Sample from it via
+    # ``train.sample --ema``.
+    ema_decay: float | None = None
 
     def make_key(self, seed: int) -> "jax.Array":
         if self.rng_impl:
@@ -46,7 +53,60 @@ class TrainerOptions:
         return jax.random.key(seed)
 
 
-class Stage1Trainer:
+class _EmaSupport:
+    """Shared EMA plumbing for both trainers: the average lives on the
+    trainer (not in the jitted state), checkpoints via save_with_aux,
+    and pre-EMA checkpoints upgrade by seeding the average from the
+    restored params."""
+
+    def _init_ema_support(self, stage: int):
+        self.ema = None
+        self._ema_modules = ema_lib.modules_for_stage(stage)
+        self._ema_update = (
+            ema_lib.make_ema_update(self.opt.ema_decay)
+            if self.opt.ema_decay is not None
+            else None
+        )
+
+    def _restore_latest(self, state):
+        """(state, start_epoch), also seeding self.ema when enabled."""
+        if self._ema_update is None:
+            restored, start_epoch = self.ckpt.restore_latest(state)
+            return restored, start_epoch
+        aux_t = {"ema": ema_lib.init_ema(state.params, self._ema_modules)}
+        restored, aux, start_epoch = self.ckpt.restore_latest_with_aux(
+            state, aux_t
+        )
+        if restored is not None:
+            self.ema = (
+                aux["ema"]
+                if aux is not None
+                else ema_lib.init_ema(restored.params, self._ema_modules)
+            )
+        return restored, start_epoch
+
+    def _seed_ema(self, state):
+        if self._ema_update is not None and self.ema is None:
+            self.ema = ema_lib.init_ema(state.params, self._ema_modules)
+
+    def _ema_step(self, state):
+        if self._ema_update is not None:
+            self.ema = self._ema_update(
+                self.ema, ema_lib.tracked(state.params, self.ema)
+            )
+
+    def _save(self, epoch, state):
+        if self._ema_update is None:
+            self.ckpt.save(epoch, jax.device_get(state))
+        else:
+            self.ckpt.save_with_aux(
+                epoch,
+                jax.device_get(state),
+                {"ema": jax.device_get(self.ema)},
+            )
+
+
+class Stage1Trainer(_EmaSupport):
     def __init__(
         self,
         system: s1.Stage1System,
@@ -73,15 +133,17 @@ class Stage1Trainer:
             if options.checkpoint_dir
             else None
         )
+        self._init_ema_support(stage=1)
 
     def init_state(self, batch_size: int):
         state = self.system.init(self.opt.make_key(self.opt.seed), batch_size)
         start_epoch = 0
         if self.ckpt is not None:
-            restored, start_epoch = self.ckpt.restore_latest(state)
+            restored, start_epoch = self._restore_latest(state)
             if restored is not None:
                 state = restored
                 print(f"Loaded checkpoint at epoch {start_epoch - 1}")
+        self._seed_ema(state)
         if self.mesh is not None:
             state = (
                 s1.shard_state_2d(state, self.mesh)
@@ -97,6 +159,7 @@ class Stage1Trainer:
             for batch in self.loader:
                 step_key = jax.random.fold_in(root_key, gstep)
                 state, metrics = self.step_fn(state, batch, step_key)
+                self._ema_step(state)
                 if gstep % self.opt.log_every_steps == 0:
                     self.writer.scalars(
                         gstep,
@@ -104,13 +167,13 @@ class Stage1Trainer:
                     )
                 gstep += 1
             if self.ckpt is not None and self.ckpt.should_save(epoch):
-                self.ckpt.save(epoch, jax.device_get(state))
+                self._save(epoch, state)
         if self.ckpt is not None:
             self.ckpt.wait()  # publish the final marker (async saves)
         return state
 
 
-class Stage2Trainer:
+class Stage2Trainer(_EmaSupport):
     def __init__(
         self,
         system: s2.Stage2System,
@@ -129,6 +192,7 @@ class Stage2Trainer:
             if options.checkpoint_dir
             else None
         )
+        self._init_ema_support(stage=2)
 
     def init_state(self, batch_size: int, stage1_state=None):
         state = self.system.init(self.opt.make_key(self.opt.seed), batch_size)
@@ -136,10 +200,11 @@ class Stage2Trainer:
             state = self.system.load_stage1(state, stage1_state)
         start_epoch = 0
         if self.ckpt is not None:
-            restored, start_epoch = self.ckpt.restore_latest(state)
+            restored, start_epoch = self._restore_latest(state)
             if restored is not None:
                 state = restored
                 print(f"Loaded checkpoint at epoch {start_epoch - 1}")
+        self._seed_ema(state)
         if self.mesh is not None:
             state = s1.replicate_state(state, self.mesh)
         return state, start_epoch
@@ -152,6 +217,7 @@ class Stage2Trainer:
             for batch in self.loader:
                 step_key = jax.random.fold_in(root_key, gstep)
                 state, metrics = self.step_fn(state, batch, step_key)
+                self._ema_step(state)
                 if gstep % self.opt.log_every_steps == 0:
                     self.writer.scalars(
                         gstep,
@@ -172,7 +238,7 @@ class Stage2Trainer:
                     self.writer.images(gstep, "real_256", real_img)
                 gstep += 1
             if self.ckpt is not None and self.ckpt.should_save(epoch):
-                self.ckpt.save(epoch, jax.device_get(state))
+                self._save(epoch, state)
         if self.ckpt is not None:
             self.ckpt.wait()  # publish the final marker (async saves)
         return state

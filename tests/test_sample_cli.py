@@ -63,6 +63,45 @@ def test_sample_cli_stage2(tmp_path):
     assert img.text["comment"] == "a dog on a beach"
 
 
+def test_sample_cli_ema(tmp_path):
+    """--ema samples from the checkpoint's EMA side tree; the same
+    checkpoint without --ema falls back to the live weights (and the
+    two differ when the trees differ)."""
+    import pytest
+
+    from imagegenerator_tpu.train import ema as ema_lib
+
+    system = Stage1System(Stage1Config.tiny())
+    state = system.init(jax.random.key(0), 2)
+    # a visibly different average: EMA of freshly-reinitialized params
+    other = system.init(jax.random.key(9), 2)
+    ema_tree = ema_lib.init_ema(other.params, ema_lib.STAGE1_MODULES)
+    mgr = CheckpointManager(f"{tmp_path}/ck/Stage1", save_every_epochs=1)
+    mgr.save_with_aux(0, state, {"ema": ema_tree})
+    mgr.wait()
+
+    base = [
+        "--stage", "1", "--tiny",
+        "--checkpoint_dir", f"{tmp_path}/ck",
+        "--caption", "a red bus", "--seed", "3",
+    ]
+    sample.main(base + ["-o", str(tmp_path / "live")])
+    sample.main(base + ["-o", str(tmp_path / "avg"), "--ema"])
+    live = np.asarray(Image.open(tmp_path / "live" / "sample_0_0.png"))
+    avg = np.asarray(Image.open(tmp_path / "avg" / "sample_0_0.png"))
+    assert live.shape == avg.shape
+    assert not np.array_equal(live, avg)
+
+    # --ema against a plain (no-aux) checkpoint names the problem
+    _save_ckpt(tmp_path / "plain", 1)
+    with pytest.raises(SystemExit, match="no EMA"):
+        sample.main([
+            "--stage", "1", "--tiny",
+            "--checkpoint_dir", f"{tmp_path}/plain/ck",
+            "--caption", "x", "-o", str(tmp_path / "o"), "--ema",
+        ])
+
+
 def test_sample_cli_no_checkpoint(tmp_path):
     import pytest
 

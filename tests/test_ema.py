@@ -38,14 +38,14 @@ def test_init_and_swap():
     assert set(tracked) == {"generator"}
 
 
-def _make_trainer(tmp_path, store_name, ema_decay):
+def _make_trainer(tmp_path, store_name, ema_decay, batch_size=2, n_images=4):
     store = open_store(f"mem://{store_name}")
-    _setup_dataset(store)
+    _setup_dataset(store, n_images=n_images)
     cfg = Stage1Config.tiny(n_critic=1)
     system = Stage1System(cfg)
     ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
     tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
-    loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
+    loader = DataLoader(ds, tok, batch_size=batch_size, num_workers=2)
     options = TrainerOptions(
         num_epochs=1,
         save_every_epochs=1,
@@ -78,6 +78,31 @@ def test_trainer_ema_checkpoint_roundtrip(tmp_path):
     trainer3, _ = _make_trainer(tmp_path, "ema-rt3", None)
     with pytest.raises(ValueError, match="--ema"):
         trainer3.init_state(batch_size=2)
+
+
+def test_trainer_ema_under_mesh(tmp_path):
+    # replicated-DP mesh trainer path: the EMA update consumes
+    # mesh-sharded params and must stay numerically a plain average
+    import jax as _jax
+
+    trainer, _ = _make_trainer(
+        tmp_path, "ema-mesh", 0.5, batch_size=8, n_images=16
+    )
+    devices = np.array(_jax.devices()[:8]).reshape(8)
+    mesh = _jax.sharding.Mesh(devices, ("data",))
+    trainer.mesh = mesh
+    from imagegenerator_tpu.train import stage1 as s1
+
+    trainer.step_fn = s1.make_train_step(trainer.system, mesh=mesh)
+    state, start = trainer.init_state(batch_size=8)
+    before = np.asarray(jax.tree.leaves(trainer.ema["generator"])[0]).copy()
+    state = trainer.fit(state, start)
+    after = np.asarray(jax.tree.leaves(trainer.ema["generator"])[0])
+    live = np.asarray(jax.tree.leaves(state.params["generator"])[0])
+    assert not np.array_equal(before, after)  # the average moved
+    assert np.isfinite(after).all()
+    # decay 0.5 over 2 steps: average strictly between init and live
+    assert not np.allclose(after, live)
 
 
 def test_plain_checkpoint_upgrades_to_ema(tmp_path):

@@ -105,6 +105,32 @@ def test_trainer_ema_under_mesh(tmp_path):
     assert not np.allclose(after, live)
 
 
+def test_stage2_trainer_ema(tmp_path):
+    # stage-2 averages the TRAINED generator-side modules (CA2 + G2);
+    # a wrong module name would KeyError at init_ema
+    from imagegenerator_tpu.train.stage2 import Stage2Config, Stage2System
+    from imagegenerator_tpu.train.trainer import Stage2Trainer
+
+    store = open_store("mem://ema-s2")
+    _setup_dataset(store)
+    cfg = Stage2Config.tiny(n_critic=1)
+    system = Stage2System(cfg)
+    ds = CocoCaptions(store, "imgs", "ann/captions.json", image_size=cfg.resolution)
+    tok = HashTokenizer(vocab_size=cfg.bert.vocab_size, max_length=cfg.seq_len)
+    loader = DataLoader(ds, tok, batch_size=2, num_workers=2)
+    options = TrainerOptions(
+        num_epochs=1, save_every_epochs=1, sample_every_steps=0,
+        checkpoint_dir=str(tmp_path / "ck2"), seed=7, ema_decay=0.5,
+    )
+    trainer = Stage2Trainer(system, loader, options)
+    state, start = trainer.init_state(batch_size=2)
+    state = trainer.fit(state, start)
+    assert set(trainer.ema) == {"con_augment_2", "generator"}
+    avg = np.asarray(jax.tree.leaves(trainer.ema["generator"])[0])
+    live = np.asarray(jax.tree.leaves(state.params["generator"])[0])
+    assert np.isfinite(avg).all() and not np.allclose(avg, live)
+
+
 def test_plain_checkpoint_upgrades_to_ema(tmp_path):
     # train WITHOUT ema, then resume WITH: the average seeds from the
     # restored params (restore_latest_with_aux returns aux=None)

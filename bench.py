@@ -1065,6 +1065,10 @@ def _run_targets(targets, reemit_headline=False):
     per_bench = int(float(os.environ.get("BENCH_SUB_TIMEOUT", "0")) or 0)
     for t in targets:
         fn = _TARGET_FNS[t]
+        # per-target env so helpers keyed on BENCH_TARGET (the variant
+        # 3-window reps default) see the right name in-process too, not
+        # just in orchestrator children
+        os.environ["BENCH_TARGET"] = t
         _hb(f"bench {t}: start")
         if not use_alarm:
             fn()

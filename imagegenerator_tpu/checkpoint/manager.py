@@ -91,22 +91,48 @@ class CheckpointManager:
         dual-write + marker contract as ``save``."""
         self.save(epoch, {"state": state, "aux": aux})
 
-    def restore_latest_with_aux(self, template, aux_template):
+    def _is_composite(self, path: str) -> bool:
+        """True when the checkpoint at ``path`` was written by
+        ``save_with_aux`` — decided from the SAVED tree's metadata, not
+        by trying templates and guessing from failures (a wrong-shape
+        template must surface as its own error, not be misread as a
+        layout difference)."""
+        try:
+            meta = self._ckptr.metadata(path)
+            return set(meta.item_metadata.tree) == {"state", "aux"}
+        except Exception:
+            return False
+
+    def _aux_template(self, path: str):
+        """Abstract restore template for the aux tree, derived from the
+        checkpoint's own metadata (shapes/dtypes — nothing allocated)."""
+        import jax
+
+        meta = self._ckptr.metadata(path)
+        return jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+            meta.item_metadata.tree["aux"],
+        )
+
+    def restore_latest_with_aux(self, template, aux_template=None):
         """Returns (state, aux, start_epoch) from either layout:
         composite ``{"state", "aux"}`` checkpoints restore both; plain
         pre-aux checkpoints restore the state and return ``aux=None``
-        so the caller can initialize the side tree (upgrade path)."""
+        so the caller can initialize the side tree (upgrade path).
+        ``aux_template`` may be omitted — the aux structure is then
+        read from the checkpoint's own metadata."""
         epoch = self.latest_epoch()
         if epoch < 0:
             return None, None, 0
         path = self._epoch_dir(epoch)
-        try:
-            r = self._ckptr.restore(
-                path, {"state": template, "aux": aux_template}
-            )
-            return r["state"], r["aux"], epoch + 1
-        except Exception:
+        if not self._is_composite(path):
             return self._ckptr.restore(path, template), None, epoch + 1
+        if aux_template is None:
+            aux_template = self._aux_template(path)
+        r = self._ckptr.restore(
+            path, {"state": template, "aux": aux_template}
+        )
+        return r["state"], r["aux"], epoch + 1
 
     def restore_latest(self, template):
         """Returns (state, start_epoch). ``template`` is an abstract or
@@ -123,13 +149,14 @@ class CheckpointManager:
         epoch = self.latest_epoch()
         if epoch < 0:
             return None, 0
-        try:
-            state = self._ckptr.restore(self._epoch_dir(epoch), template)
-        except Exception as e:
-            raise ValueError(
-                f"checkpoint at {self._epoch_dir(epoch)} does not match "
-                "the plain state template — if the run was trained with "
-                "EMA enabled (save_with_aux layout), restore with the "
-                "matching side tree (pass --ema)"
-            ) from e
-        return state, epoch + 1
+        path = self._epoch_dir(epoch)
+        if self._is_composite(path):
+            # save_with_aux layout (e.g. an EMA training run): restore
+            # the live state transparently, aux discarded — callers that
+            # want the side tree use restore_latest_with_aux
+            r = self._ckptr.restore(
+                path,
+                {"state": template, "aux": self._aux_template(path)},
+            )
+            return r["state"], epoch + 1
+        return self._ckptr.restore(path, template), epoch + 1

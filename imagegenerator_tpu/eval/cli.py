@@ -78,16 +78,15 @@ class ImageSet:
 
     def __init__(self, path: str):
         self.path = path
-        self._npz = None
         if path.endswith(".npz"):
-            with np.load(path) as z:
-                if "images" not in z:
-                    raise ValueError(f"{path} has no 'images' array")
-                shape = z["images"].shape
+            # header-only probe: shape/dtype from the .npy member header,
+            # no array data read (a 50k-image ref set is ~10 GB)
+            shape, self._npz_dtype = self._npz_header()
             if len(shape) != 4 or shape[-1] != 3:
                 raise ValueError(
                     f"{path}: expected (N, H, W, 3), got {shape}"
                 )
+            self._npz_shape = shape
             self._names = None
             self._n = shape[0]
         elif os.path.isfile(path):
@@ -117,15 +116,54 @@ class ImageSet:
                 im = im.resize(size, Image.BICUBIC)
             return np.asarray(im, np.uint8), im.size
 
+    def _npz_member(self):
+        """Open the ``images.npy`` member for sequential reading and
+        parse its header; -> (fileobj positioned at the data, shape,
+        dtype). Works on compressed and stored members alike —
+        ZipExtFile reads are sequential, which is all streaming needs."""
+        import zipfile
+
+        from numpy.lib import format as npformat
+
+        zf = zipfile.ZipFile(self.path)
+        if "images.npy" not in zf.namelist():
+            zf.close()
+            raise ValueError(f"{self.path} has no 'images' array")
+        f = zf.open("images.npy")
+        version = npformat.read_magic(f)
+        if version == (1, 0):
+            shape, fortran, dtype = npformat.read_array_header_1_0(f)
+        else:
+            shape, fortran, dtype = npformat.read_array_header_2_0(f)
+        if fortran:
+            f.close()
+            zf.close()
+            raise ValueError(f"{self.path}: Fortran-order array unsupported")
+        return f, zf, shape, dtype
+
+    def _npz_header(self):
+        f, zf, shape, dtype = self._npz_member()
+        f.close()
+        zf.close()
+        return shape, dtype
+
     def batches(self, batch_size: int):
         if self._names is None:
-            with np.load(self.path) as z:
-                imgs = z["images"]
+            f, zf, shape, dtype = self._npz_member()
+            row_bytes = int(np.prod(shape[1:])) * dtype.itemsize
+            try:
                 for s in range(0, self._n, batch_size):
-                    chunk = np.asarray(imgs[s : s + batch_size])
+                    n = min(batch_size, self._n - s)
+                    buf = f.read(n * row_bytes)
+                    chunk = np.frombuffer(buf, dtype=dtype).reshape(
+                        (n,) + shape[1:]
+                    )
                     if chunk.dtype == np.uint8:
                         chunk = chunk.astype(np.float32) / 255.0
                     yield np.asarray(chunk, np.float32)
+            finally:
+                f.close()
+                zf.close()
             return
         size = None
         for s in range(0, self._n, batch_size):

@@ -122,7 +122,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the reference's PJRT process-group role)")
-    p.add_argument("--ema", type=float, default=None, metavar="DECAY",
+    def _decay(v):
+        d = float(v)
+        if not 0.0 <= d < 1.0:
+            raise argparse.ArgumentTypeError(
+                f"EMA decay must be in [0, 1), got {d}"
+            )
+        return d
+
+    p.add_argument("--ema", type=_decay, default=None, metavar="DECAY",
                    help="keep an exponential moving average of the "
                         "generator-side params at this decay (e.g. "
                         "0.999); stored in checkpoints as a side tree "

@@ -159,11 +159,7 @@ def main(argv=None):
     if args.ema:
         from imagegenerator_tpu.train import ema as ema_lib
 
-        modules = ema_lib.modules_for_stage(args.stage)
-        aux_t = {"ema": {m: template.params[m] for m in modules}}
-        state, aux, start_epoch = mgr.restore_latest_with_aux(
-            template, aux_t
-        )
+        state, aux, start_epoch = mgr.restore_latest_with_aux(template)
         if state is not None and aux is None:
             raise SystemExit(
                 "--ema: this checkpoint has no EMA side tree (train "
@@ -172,18 +168,9 @@ def main(argv=None):
         if aux is not None:
             state = ema_lib.swap_in(state, aux["ema"])
     else:
-        try:
-            state, start_epoch = mgr.restore_latest(template)
-        except ValueError:
-            # EMA-layout checkpoint sampled without --ema: restore the
-            # composite and use the live training weights
-            from imagegenerator_tpu.train import ema as ema_lib
-
-            modules = ema_lib.modules_for_stage(args.stage)
-            aux_t = {"ema": {m: template.params[m] for m in modules}}
-            state, _, start_epoch = mgr.restore_latest_with_aux(
-                template, aux_t
-            )
+        # composite (EMA-run) checkpoints restore their live weights
+        # transparently here — restore_latest detects the layout
+        state, start_epoch = mgr.restore_latest(template)
     if state is None:
         raise SystemExit(
             f"no checkpoint found under "

@@ -73,9 +73,8 @@ class _EmaSupport:
         if self._ema_update is None:
             restored, start_epoch = self.ckpt.restore_latest(state)
             return restored, start_epoch
-        aux_t = {"ema": ema_lib.init_ema(state.params, self._ema_modules)}
         restored, aux, start_epoch = self.ckpt.restore_latest_with_aux(
-            state, aux_t
+            state
         )
         if restored is not None:
             self.ema = (

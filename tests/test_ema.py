@@ -74,10 +74,15 @@ def test_trainer_ema_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(trainer2.ema["generator"])[0]), avg
     )
 
-    # plain restore of an EMA checkpoint names the fix
+    # a NON-ema trainer (e.g. stage-2 loading an EMA stage-1 run, or a
+    # user who dropped the flag) restores the live state transparently:
+    # restore_latest detects the composite layout from metadata
     trainer3, _ = _make_trainer(tmp_path, "ema-rt3", None)
-    with pytest.raises(ValueError, match="--ema"):
-        trainer3.init_state(batch_size=2)
+    state3, start3 = trainer3.init_state(batch_size=2)
+    assert start3 == 1 and trainer3.ema is None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state3.params["generator"])[0]), live
+    )
 
 
 def test_trainer_ema_under_mesh(tmp_path):

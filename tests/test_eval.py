@@ -254,6 +254,27 @@ def test_cli_streaming_matches_direct_api(tmp_path):
     )
 
 
+def test_npz_streaming_roundtrip(tmp_path):
+    # the npz branch streams rows from the zip member (header-only
+    # probe, sequential chunk reads) — bytes must round-trip exactly
+    # for uint8 and float32 alike, across chunk boundaries
+    rng = np.random.default_rng(13)
+    u8 = rng.integers(0, 255, (5, 6, 7, 3), np.uint8)
+    f32 = rng.random((5, 6, 7, 3)).astype(np.float32)
+    np.savez(tmp_path / "u8.npz", images=u8)
+    np.savez_compressed(tmp_path / "f32.npz", images=f32)
+    got_u8 = eval_cli.load_image_set(str(tmp_path / "u8.npz"))
+    np.testing.assert_allclose(got_u8, u8.astype(np.float32) / 255.0)
+    s = eval_cli.ImageSet(str(tmp_path / "f32.npz"))
+    assert len(s) == 5
+    chunks = list(s.batches(2))
+    assert [c.shape[0] for c in chunks] == [2, 2, 1]
+    np.testing.assert_array_equal(np.concatenate(chunks), f32)
+    with pytest.raises(ValueError, match="images"):
+        np.savez(tmp_path / "bad.npz", other=u8)
+        eval_cli.ImageSet(str(tmp_path / "bad.npz"))
+
+
 def test_load_image_set_single_file(tmp_path):
     rng = np.random.default_rng(9)
     img = rng.integers(0, 255, (1, 20, 20, 3), np.uint8)

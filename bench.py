@@ -74,7 +74,7 @@ Env knobs:
                offline (the frozen-encoder production design; 0 times
                the in-step BERT forward instead)
   BENCH_STEPS  (default 8)  steps per timed window (stage1/stage2)
-  BENCH_REPS   (default 5; variant/e2e targets default 3) timed windows
+  BENCH_REPS   (default 5; variant targets default 3) timed windows
                per metric (median reported, min/max spread recorded)
   BENCH_CHAIN  (default 20) v2 iterations per dispatch (display_freq)
   BENCH_DTYPE  (default bf16) compute dtype: bf16 | f32
@@ -142,7 +142,7 @@ def _fence(tree):
 # everything.
 _SHORT_REPS_TARGETS = {
     "stage1_golden", "stage1_fast", "stage1_fast_reuse",
-    "stage2_golden", "v2_batched", "e2e",
+    "stage2_golden", "v2_batched",
 }
 
 
@@ -881,7 +881,11 @@ def bench_e2e():
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     unroll = int(os.environ.get("BENCH_UNROLL", "5"))
-    nbatches = int(os.environ.get("BENCH_E2E_BATCHES", "6"))
+    # 4 batches/epoch (was 6): e2e keeps FIVE timed windows — its
+    # window-to-window spread is the tunnel/host state it measures, so
+    # a median-of-3 was too grabby — and pays for them with a smaller
+    # (still sustained: 1024 imgs re-decoded per window) epoch
+    nbatches = int(os.environ.get("BENCH_E2E_BATCHES", "4"))
     workers = int(os.environ.get("BENCH_HOST_WORKERS", "16"))
     dtype = (
         jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32

@@ -207,7 +207,18 @@ def test_stage1_cli_tp_mesh(tmp_path):
             "--n_critic", "1",
             "--seq_len", "8",
             "--tp", "2",
+            # EMA composed with the 2-D TP mesh: the trainer-held
+            # average consumes GSPMD tp-sharded params each step and
+            # the checkpoint takes the {"state","aux"} layout
+            "--ema", "0.9",
             "--checkpoint_dir", str(tmp_path / "ckpts"),
         ]
     )
     assert (tmp_path / "ckpts" / "Stage1" / "LATEST_EPOCH").exists()
+    from imagegenerator_tpu.checkpoint import CheckpointManager
+
+    assert CheckpointManager(
+        str(tmp_path / "ckpts" / "Stage1")
+    )._is_composite(
+        str(tmp_path / "ckpts" / "Stage1" / "epochs" / "checkpoint_epoch_0")
+    )

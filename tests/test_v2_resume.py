@@ -109,6 +109,45 @@ def test_run_state_callback_cadence(engine, tmp_path):
     assert [c[1] for c in calls] == [0, 2, 4, 5]
 
 
+def test_generate_cli_resume_batched(tmp_path, capsys):
+    """--state composes with --prompts_file: the snapshot carries the
+    BATCHED latent/optimizer state (and its shardings), and a relaunch
+    resumes all prompt sets at once."""
+    from imagegenerator_tpu.v2.generate import main
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("a red bus\na snowy street\n")
+    out = tmp_path / "out.png"
+    statef = tmp_path / "state_b.npz"
+    argv = [
+        "--prompts_file", str(pf),
+        "-i", "3",
+        "-se", "3",
+        "-s", "32", "32",
+        "-sd", "12",
+        "-o", str(out),
+        "--state", str(statef),
+        "-conf", str(tmp_path / "missing.yaml"),
+        "-ckpt", str(tmp_path / "missing.ckpt"),
+    ]
+    main(argv)
+    assert statef.exists()
+    with np.load(statef) as d:
+        assert int(d["iters_done"]) == 3
+        # the snapshot's latent/optimizer leaves carry the batch dim
+        assert any(
+            d[k].ndim >= 3 and d[k].shape[0] == 2
+            for k in d.files
+            if k.startswith("leaf_")
+        )
+    capsys.readouterr()
+    main(argv)
+    captured = capsys.readouterr()
+    assert "Resumed state at iteration 3" in captured.out
+    assert (tmp_path / "out_0.png").exists()
+    assert (tmp_path / "out_1.png").exists()
+
+
 def test_generate_cli_resume(tmp_path, capsys):
     """CLI: --state writes a snapshot; a relaunch resumes and finishes
     the remaining iterations (here zero), still writing the PNG."""

@@ -91,27 +91,37 @@ class CheckpointManager:
         dual-write + marker contract as ``save``."""
         self.save(epoch, {"state": state, "aux": aux})
 
-    def _is_composite(self, path: str) -> bool:
-        """True when the checkpoint at ``path`` was written by
-        ``save_with_aux`` — decided from the SAVED tree's metadata, not
-        by trying templates and guessing from failures (a wrong-shape
-        template must surface as its own error, not be misread as a
-        layout difference)."""
+    def _composite_aux_meta(self, path: str):
+        """The aux subtree's metadata if the checkpoint at ``path`` was
+        written by ``save_with_aux``, else None — decided from the SAVED
+        tree's one metadata read, not by trying templates and guessing
+        from failures (a wrong-shape template must surface as its own
+        error, not be misread as a layout difference). An absent or
+        shape-less metadata record classifies as plain; environmental
+        errors (network, permissions) propagate as themselves."""
         try:
             meta = self._ckptr.metadata(path)
-            return set(meta.item_metadata.tree) == {"state", "aux"}
-        except Exception:
-            return False
+        except FileNotFoundError:
+            return None
+        try:
+            tree = meta.item_metadata.tree
+        except AttributeError:
+            return None
+        if not (isinstance(tree, dict) and set(tree) == {"state", "aux"}):
+            return None
+        return tree["aux"]
 
-    def _aux_template(self, path: str):
-        """Abstract restore template for the aux tree, derived from the
-        checkpoint's own metadata (shapes/dtypes — nothing allocated)."""
+    def _is_composite(self, path: str) -> bool:
+        return self._composite_aux_meta(path) is not None
+
+    @staticmethod
+    def _sds_template(meta_tree):
+        """Metadata tree -> abstract ShapeDtypeStruct restore template
+        (nothing allocated)."""
         import jax
 
-        meta = self._ckptr.metadata(path)
         return jax.tree.map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
-            meta.item_metadata.tree["aux"],
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta_tree
         )
 
     def restore_latest_with_aux(self, template, aux_template=None):
@@ -120,15 +130,16 @@ class CheckpointManager:
         pre-aux checkpoints restore the state and return ``aux=None``
         so the caller can initialize the side tree (upgrade path).
         ``aux_template`` may be omitted — the aux structure is then
-        read from the checkpoint's own metadata."""
+        taken from the checkpoint's own metadata."""
         epoch = self.latest_epoch()
         if epoch < 0:
             return None, None, 0
         path = self._epoch_dir(epoch)
-        if not self._is_composite(path):
+        aux_meta = self._composite_aux_meta(path)
+        if aux_meta is None:
             return self._ckptr.restore(path, template), None, epoch + 1
         if aux_template is None:
-            aux_template = self._aux_template(path)
+            aux_template = self._sds_template(aux_meta)
         r = self._ckptr.restore(
             path, {"state": template, "aux": aux_template}
         )
@@ -150,13 +161,18 @@ class CheckpointManager:
         if epoch < 0:
             return None, 0
         path = self._epoch_dir(epoch)
-        if self._is_composite(path):
+        aux_meta = self._composite_aux_meta(path)
+        if aux_meta is not None:
             # save_with_aux layout (e.g. an EMA training run): restore
             # the live state transparently, aux discarded — callers that
-            # want the side tree use restore_latest_with_aux
+            # want the side tree use restore_latest_with_aux. (The aux
+            # payload is read and dropped: this orbax version's
+            # StandardCheckpointer rejects ocp.PLACEHOLDER, and this
+            # path is rare — reading an EMA run without wanting its
+            # averages.)
             r = self._ckptr.restore(
                 path,
-                {"state": template, "aux": self._aux_template(path)},
+                {"state": template, "aux": self._sds_template(aux_meta)},
             )
             return r["state"], epoch + 1
         return self._ckptr.restore(path, template), epoch + 1

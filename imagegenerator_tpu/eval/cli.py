@@ -81,12 +81,11 @@ class ImageSet:
         if path.endswith(".npz"):
             # header-only probe: shape/dtype from the .npy member header,
             # no array data read (a 50k-image ref set is ~10 GB)
-            shape, self._npz_dtype = self._npz_header()
+            shape, _ = self._npz_header()
             if len(shape) != 4 or shape[-1] != 3:
                 raise ValueError(
                     f"{path}: expected (N, H, W, 3), got {shape}"
                 )
-            self._npz_shape = shape
             self._names = None
             self._n = shape[0]
         elif os.path.isfile(path):
@@ -126,19 +125,29 @@ class ImageSet:
         from numpy.lib import format as npformat
 
         zf = zipfile.ZipFile(self.path)
-        if "images.npy" not in zf.namelist():
+        # np.load accepts the member with or without the .npy suffix
+        member = next(
+            (n for n in ("images.npy", "images") if n in zf.namelist()),
+            None,
+        )
+        if member is None:
             zf.close()
             raise ValueError(f"{self.path} has no 'images' array")
-        f = zf.open("images.npy")
-        version = npformat.read_magic(f)
-        if version == (1, 0):
-            shape, fortran, dtype = npformat.read_array_header_1_0(f)
-        else:
-            shape, fortran, dtype = npformat.read_array_header_2_0(f)
-        if fortran:
+        f = zf.open(member)
+        try:
+            version = npformat.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = npformat.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = npformat.read_array_header_2_0(f)
+            if fortran:
+                raise ValueError(
+                    f"{self.path}: Fortran-order array unsupported"
+                )
+        except Exception:
             f.close()
             zf.close()
-            raise ValueError(f"{self.path}: Fortran-order array unsupported")
+            raise
         return f, zf, shape, dtype
 
     def _npz_header(self):

@@ -20,6 +20,6 @@ Design stance (TPU-first, not a port):
   for the fused hot blocks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 from imagegenerator_tpu import ops, models  # noqa: F401

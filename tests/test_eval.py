@@ -284,6 +284,16 @@ def test_load_image_set_single_file(tmp_path):
     np.testing.assert_allclose(loaded, img.astype(np.float32) / 255.0)
 
 
+def test_parse_captions_file(tmp_path):
+    f = tmp_path / "caps.txt"
+    f.write_text("a red bus\n\n  a snowy street  \n")
+    caps = eval_cli.parse_captions(f"@{f}", 2)
+    assert caps == ["a red bus", "a snowy street"]
+    # single line in a file broadcasts like the inline form
+    f.write_text("just one\n")
+    assert eval_cli.parse_captions(f"@{f}", 3) == ["just one"] * 3
+
+
 def test_cli_caption_broadcast_and_errors(tmp_path):
     rng = np.random.default_rng(8)
     _write_pngs(

@@ -999,6 +999,7 @@ _DEFAULT_ORDER = [
     ("stage1", 360),
     ("v2", 360),
     ("stage1_golden", 240),
+    ("stage2_golden", 240),
     ("stage1_fast", 240),
     ("stage1_fast_reuse", 240),
     ("v2_batched", 240),

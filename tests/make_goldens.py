@@ -46,6 +46,35 @@ def stage1_golden():
     return {k: np.asarray(v) for k, v in metrics.items()}
 
 
+def stage2_golden():
+    """Stage-2 train-step metrics at a fixed seed — pins the 256px
+    path's bitstream (frozen 64px stack -> CA2/G2/critic2 WGAN-GP)
+    the way stage1_step.npz pins stage 1's (round-5 gap: stage 2 had
+    sample goldens but no train-step golden)."""
+    from imagegenerator_tpu.train.stage2 import (
+        Stage2Config,
+        Stage2System,
+        make_train_step,
+    )
+
+    system = Stage2System(Stage2Config.tiny(n_critic=2))
+    state = system.init(jax.random.key(3), 4)
+    kt, ki = jax.random.split(jax.random.key(4))
+    batch = {
+        "input_ids": jax.random.randint(kt, (4, system.config.seq_len), 0, 128),
+        "attention_mask": jnp.ones((4, system.config.seq_len), jnp.int32),
+        "image": jax.random.uniform(
+            ki,
+            (4, system.config.resolution, system.config.resolution, 3),
+            minval=-1,
+            maxval=1,
+        ),
+    }
+    step = make_train_step(system, donate=False)
+    _, metrics = step(state, batch, jax.random.key(5))
+    return {k: np.asarray(v) for k, v in metrics.items()}
+
+
 def v2_golden():
     from imagegenerator_tpu.v2.clip import CLIP, CLIPConfig
     from imagegenerator_tpu.v2.engine import GenerateEngine
@@ -135,6 +164,7 @@ def models_golden():
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     np.savez(os.path.join(GOLDEN_DIR, "stage1_step.npz"), **stage1_golden())
+    np.savez(os.path.join(GOLDEN_DIR, "stage2_step.npz"), **stage2_golden())
     np.savez(os.path.join(GOLDEN_DIR, "v2_engine.npz"), **v2_golden())
     np.savez(os.path.join(GOLDEN_DIR, "models.npz"), **models_golden())
     np.savez(

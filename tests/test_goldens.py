@@ -26,6 +26,13 @@ def test_stage1_step_golden():
         np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_stage2_step_golden():
+    want = _load("stage2_step.npz")
+    got = mg.stage2_golden()
+    for k in want.files:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_v2_engine_golden():
     want = _load("v2_engine.npz")
     got = mg.v2_golden()
